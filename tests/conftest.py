@@ -1,0 +1,45 @@
+"""Test harness: run everything on a simulated 8-device CPU mesh.
+
+Multi-chip sharding is validated without TPU hardware by forcing the host
+platform to expose 8 virtual devices — the standard JAX recipe for testing
+SPMD code. Env vars must be set before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+ASSETS = os.path.join(os.path.dirname(__file__), "assets")
+
+
+@pytest.fixture(scope="session")
+def assets_dir():
+    return ASSETS
+
+
+@pytest.fixture(scope="session")
+def golden_decode():
+    import json
+    with open(os.path.join(ASSETS, "golden_decode.json")) as f:
+        return json.load(f)
+
+
+@pytest.fixture(scope="session")
+def arch_params():
+    """Shipped searched genotype tensors (teacher=0, student=1)."""
+    from fasterseg_tpu.core import ArchParams
+    return {i: ArchParams.from_npz(os.path.join(ASSETS, f"arch_{i}.npz"))
+            for i in (0, 1)}
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
