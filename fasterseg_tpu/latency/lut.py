@@ -1,0 +1,127 @@
+"""Latency lookup table: persistent op-latency store.
+
+TPU-native replacement for the reference's TensorRT-measured
+`latency_lookup_table.npy` (latency/latency_lookup_table.py,
+search/operations.py:33-36,115-123). Same key scheme, JSON persistence,
+and lazy measure-on-miss behavior; entries come from either on-device
+measurement (latency/measure.py) or the analytical roofline model
+(latency/cost_model.py) — the provider is pluggable.
+
+Key formats (reference parity):
+  {Op}_H{h}_W{w}_Cin{cin}_Cout{cout}_stride{s}_dilation{d}
+  ConvNorm_H{h}_W{w}_Cin{cin}_Cout{cout}_kernel{k}_stride{s}
+  FactorizedReduce_H{h}_W{w}_Cin{cin}_Cout{cout}_stride{s}
+  ff_H{h}_W{w}_C{c}
+  head_H{h}_W{w}_Cin{cin}_Cout{cout}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, Optional, Tuple
+
+OP_LUT_NAMES = (
+    "FactorizedReduce",
+    "BasicResidual1x",
+    "BasicResidual_downup_1x",
+    "BasicResidual2x",
+    "BasicResidual2x",  # downup_2x reuses the 2x key — reference quirk we
+                        # keep for LUT compatibility (operations.py:426-431)
+)
+
+OP_TRUE_NAMES = (
+    "FactorizedReduce",
+    "BasicResidual1x",
+    "BasicResidual_downup_1x",
+    "BasicResidual2x",
+    "BasicResidual_downup_2x",
+)
+
+
+def op_key(op_idx: int, h: int, w: int, c_in: int, c_out: int,
+           stride: int, dilation: int = 1) -> str:
+    name = OP_LUT_NAMES[op_idx]
+    if op_idx == 0:
+        return f"{name}_H{h}_W{w}_Cin{c_in}_Cout{c_out}_stride{stride}"
+    return (f"{name}_H{h}_W{w}_Cin{c_in}_Cout{c_out}"
+            f"_stride{stride}_dilation{dilation}")
+
+
+def convnorm_key(h, w, c_in, c_out, kernel, stride) -> str:
+    return f"ConvNorm_H{h}_W{w}_Cin{c_in}_Cout{c_out}_kernel{kernel}_stride{stride}"
+
+
+def ffm_key(h, w, c) -> str:
+    return f"ff_H{h}_W{w}_C{c}"
+
+
+def head_key(h, w, c_in, c_out) -> str:
+    return f"head_H{h}_W{w}_Cin{c_in}_Cout{c_out}"
+
+
+class LatencyLUT:
+    """name -> milliseconds, JSON-backed, measure-on-miss."""
+
+    def __init__(self, path: Optional[str] = None,
+                 provider: Optional[Callable[[str], float]] = None):
+        self.path = path
+        self.table: Dict[str, float] = {}
+        self.provider = provider
+        if path and os.path.isfile(path):
+            with open(path) as f:
+                self.table = json.load(f)
+
+    def save(self, path: Optional[str] = None):
+        path = path or self.path
+        if path:
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.table, f, indent=0, sort_keys=True)
+            os.replace(tmp, path)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.table
+
+    def __len__(self):
+        return len(self.table)
+
+    def get(self, name: str) -> float:
+        """Latency in ms; on miss, consult the provider and persist
+        (reference operations.py:115-123 measure-on-miss)."""
+        if name in self.table:
+            return self.table[name]
+        if self.provider is None:
+            raise KeyError(f"latency LUT miss with no provider: {name}")
+        ms = float(self.provider(name))
+        self.table[name] = ms
+        self.save()
+        return ms
+
+    def update(self, entries: Dict[str, float]):
+        self.table.update(entries)
+
+    @staticmethod
+    def from_reference_npy(npy_path: str) -> "LatencyLUT":
+        """Load a reference latency_lookup_table.npy (GPU-measured)."""
+        import numpy as np
+        lut = LatencyLUT()
+        lut.table = {k: float(v) for k, v in
+                     np.load(npy_path, allow_pickle=True).item().items()}
+        return lut
+
+
+def parse_key(name: str) -> Tuple[str, dict]:
+    """Inverse of the key builders — used by measurement providers."""
+    parts = name.split("_")
+    fields = {}
+    op_parts = []
+    for p in parts:
+        for prefix in ("H", "W", "Cin", "Cout", "kernel", "stride",
+                       "dilation", "C"):
+            if p.startswith(prefix) and p[len(prefix):].isdigit():
+                fields[prefix] = int(p[len(prefix):])
+                break
+        else:
+            op_parts.append(p)
+    return "_".join(op_parts), fields

@@ -150,8 +150,8 @@ class DerivedNet(nn.Module):
                 p32 = scale_by(p32.astype(jnp.float32), 32)
             return p8, p16, p32
 
-        out = scale_by(p8.astype(jnp.float32), 8)
-        return out
+        # eval: x8 align-corners upsample in compute dtype; callers cast
+        return scale_by(p8, 8)
 
 
 def create_derived(plan: NetworkPlan, rng, input_hw: Tuple[int, int] = (512, 1024),

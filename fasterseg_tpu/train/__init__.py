@@ -1,0 +1,16 @@
+from .loss import (
+    cross_entropy,
+    ohem_cross_entropy,
+    kl_distillation,
+    ohem_ce_topk,
+    focal_loss,
+    soft_cross_entropy,
+    CITYSCAPES_CLASS_WEIGHTS,
+)
+from .loop import (
+    TrainState,
+    make_optimizer,
+    create_train_state,
+    make_train_step,
+    make_eval_step,
+)

@@ -108,6 +108,59 @@ class _Writer:
         self.conv(f"{tkey}.conv_1x1", fpath + ("conv_1x1",), bias=True)
 
 
+def import_slim_op_state(sd: Mapping, op_idx: int, stride: int,
+                         c_max_out: int,
+                         width_mult_list, prefix: str = ""):
+    """Convert a reference slimmable-op state_dict (USConv2d full-width
+    weights + per-width USBatchNorm2d children, slimmable_ops.py:21-70)
+    into variables for our ops.slimmable modules.
+
+    Per-width BN rows are filled on their active prefix
+    (make_divisible(C*w) channels); the padding region is inert because
+    outputs are masked."""
+    from ..ops.slimmable import make_divisible
+
+    params: Dict = {}
+    stats: Dict = {}
+
+    def conv(tkey, fname):
+        w = _np(sd[f"{prefix}{tkey}.weight"]).transpose(2, 3, 1, 0)
+        params[fname] = {"conv": {"kernel": w}}
+
+    def us_bn(tkey, fname, c_max):
+        nw = len(width_mult_list)
+        scale = np.ones((nw, c_max), np.float32)
+        bias = np.zeros((nw, c_max), np.float32)
+        mean = np.zeros((nw, c_max), np.float32)
+        var = np.ones((nw, c_max), np.float32)
+        for i, wm in enumerate(width_mult_list):
+            k = make_divisible(c_max * wm)
+            scale[i, :k] = _np(sd[f"{prefix}{tkey}.bn.{i}.weight"])
+            bias[i, :k] = _np(sd[f"{prefix}{tkey}.bn.{i}.bias"])
+            mean[i, :k] = _np(sd[f"{prefix}{tkey}.bn.{i}.running_mean"])
+            var[i, :k] = _np(sd[f"{prefix}{tkey}.bn.{i}.running_var"])
+        params[fname] = {"scale": scale, "bias": bias}
+        stats[fname] = {"mean": mean, "var": var}
+
+    if op_idx == 0:
+        if stride == 1:
+            conv("conv1", "conv1")
+            us_bn("bn", "bn", c_max_out)
+        else:
+            w1 = _np(sd[f"{prefix}conv1.weight"]).transpose(2, 3, 1, 0)
+            w2 = _np(sd[f"{prefix}conv2.weight"]).transpose(2, 3, 1, 0)
+            params["conv1"] = {"kernel": w1}
+            params["conv2"] = {"kernel": w2}
+            us_bn("bn", "bn", c_max_out)
+    else:
+        conv("conv1", "conv1")
+        us_bn("bn1", "bn1", c_max_out)
+        if op_idx in (3, 4):
+            conv("conv2", "conv2")
+            us_bn("bn2", "bn2", c_max_out)
+    return {"params": params, "batch_stats": stats}
+
+
 def import_derived_state_dict(sd: Mapping, plan: NetworkPlan):
     """state_dict of Network_Multi_Path_Infer -> {'params':…, 'batch_stats':…}.
 

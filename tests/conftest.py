@@ -7,14 +7,26 @@ SPMD code. Env vars must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
+
+# The axon TPU plugin (this image's sitecustomize) overrides JAX_PLATFORMS;
+# force the CPU backend + 8 virtual devices through jax.config instead.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
 import numpy as np
 import pytest
+
+# XLA CPU convs default to a low-precision (oneDNN) path with ~1e-2 abs
+# error; parity tests need exact f32 accumulation. TPU runs keep the fast
+# default — this applies to the test (CPU) environment only.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 
 ASSETS = os.path.join(os.path.dirname(__file__), "assets")
