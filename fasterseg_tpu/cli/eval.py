@@ -1,0 +1,64 @@
+"""CLI: evaluate a trained network on the validation set.
+
+Equivalent of the reference's eval-only path (train/train.py:155-176 with
+C.is_eval=True) as a first-class command.
+
+  python -m fasterseg_tpu.cli.eval --arch-dir ... --ckpt ... --data-root ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", choices=["teacher", "student"],
+                   default="student")
+    p.add_argument("--arch-dir", required=True)
+    p.add_argument("--ckpt", required=True)
+    p.add_argument("--data-root", required=True)
+    p.add_argument("--scales", type=float, nargs="+", default=[1.0])
+    p.add_argument("--flip", action="store_true")
+    p.add_argument("--max-items", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from ..core.config import (cityscapes_student_config,
+                               cityscapes_teacher_config)
+    from ..data import Cityscapes, DataSetting
+    from ..train import TrainSession
+    from ..utils.checkpoint import load_pytree, partial_load
+    from ..utils.logging import get_logger
+    from ..utils.visualize import print_iou
+
+    logger = get_logger()
+    cfg = (cityscapes_teacher_config() if args.mode == "teacher"
+           else cityscapes_student_config())
+    ev = dataclasses.replace(cfg.eval, eval_scale_array=tuple(args.scales),
+                             eval_flip=args.flip)
+    cfg = dataclasses.replace(cfg, eval=ev, is_eval=True)
+
+    session = TrainSession(cfg, args.arch_dir)
+    loaded = load_pytree(args.ckpt)
+    sv = session.variables[session.student_idx]
+    session.state = session.state.replace(
+        params=partial_load(sv["params"], loaded.get("params", {})),
+        batch_stats=partial_load(sv["batch_stats"],
+                                 loaded.get("batch_stats", {})))
+
+    setting = DataSetting(
+        img_root=args.data_root, gt_root=args.data_root,
+        train_source=os.path.join(args.data_root,
+                                  cfg.data.train_source),
+        eval_source=os.path.join(args.data_root, cfg.data.eval_source))
+    val = Cityscapes(setting, "val")
+    res = session.evaluate(val, max_items=args.max_items)
+    print(print_iou(res.iou_per_class, res.pixel_acc,
+                    Cityscapes.class_names))
+    return res
+
+
+if __name__ == "__main__":
+    main()

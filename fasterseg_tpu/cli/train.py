@@ -1,0 +1,93 @@
+"""CLI: train decoded networks from scratch (teacher, then student).
+
+Equivalent of `python train/train.py` with mode switching
+(config_train.py:77-104):
+
+  python -m fasterseg_tpu.cli.train --mode teacher --arch-dir runs/search/...
+  python -m fasterseg_tpu.cli.train --mode student --arch-dir ... \
+      --teacher-ckpt runs/train/.../weights0_ckpt
+  python -m fasterseg_tpu.cli.train --mode student --eval  ...   # eval-only
+  python -m fasterseg_tpu.cli.train --mode student --test  ...   # submission
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", choices=["teacher", "student"],
+                   default="student")
+    p.add_argument("--arch-dir", required=True,
+                   help="dir with arch_{0,1}.npz (or reference .pt)")
+    p.add_argument("--teacher-ckpt", default=None)
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--save", default="runs/train")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--niters", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--eval", action="store_true", dest="is_eval")
+    p.add_argument("--test", action="store_true", dest="is_test")
+    p.add_argument("--eval-ckpt", default=None)
+    args = p.parse_args(argv)
+
+    from ..core.config import (cityscapes_student_config,
+                               cityscapes_teacher_config)
+    from ..data import Cityscapes, DataSetting, SyntheticDataset
+    from ..train import run_train, TrainSession, write_test_predictions
+    from ..utils.logging import create_exp_dir, get_logger
+
+    cfg = (cityscapes_teacher_config() if args.mode == "teacher"
+           else cityscapes_student_config())
+    data = cfg.data
+    if args.data_root:
+        data = dataclasses.replace(data, dataset_path=args.data_root)
+    if args.synthetic:
+        data = dataclasses.replace(data, synthetic=True)
+    if args.batch_size:
+        data = dataclasses.replace(data, batch_size=args.batch_size)
+    cfg = dataclasses.replace(cfg, data=data, is_eval=args.is_eval,
+                              is_test=args.is_test)
+
+    save_dir = create_exp_dir(args.save, f"train-{args.mode}")
+    logger = get_logger(log_file=os.path.join(save_dir, "log.txt"))
+    logger.info("config: %s", cfg)
+
+    val_dataset = None
+    if args.data_root:
+        setting = DataSetting(
+            img_root=data.dataset_path, gt_root=data.dataset_path,
+            train_source=os.path.join(data.dataset_path, data.train_source),
+            eval_source=os.path.join(data.dataset_path, data.eval_source),
+            test_source=os.path.join(data.dataset_path, data.test_source),
+            down_sampling=data.down_sampling)
+        val_dataset = Cityscapes(setting, "val")
+
+    if args.is_test:
+        session = TrainSession(cfg, args.arch_dir)
+        if args.eval_ckpt:
+            from ..utils.checkpoint import load_pytree, partial_load
+            loaded = load_pytree(args.eval_ckpt)
+            sv = session.variables[session.student_idx]
+            session.state = session.state.replace(
+                params=partial_load(sv["params"], loaded.get("params", {})),
+                batch_stats=partial_load(sv["batch_stats"],
+                                         loaded.get("batch_stats", {})))
+        test_dataset = Cityscapes(setting, "test")
+        write_test_predictions(session, test_dataset,
+                               os.path.join(save_dir, "test"))
+        logger.info("submission PNGs in %s/test", save_dir)
+        return session
+
+    session = run_train(cfg, args.arch_dir, val_dataset=val_dataset,
+                        epochs=args.epochs, niters=args.niters,
+                        save_dir=save_dir, teacher_ckpt=args.teacher_ckpt)
+    return session
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""CLI: supernet pretrain + architecture search.
+
+Equivalent of `python search/train_search.py` (reference is config-file
+driven with zero flags; we expose the same presets plus overrides).
+
+  python -m fasterseg_tpu.cli.train_search --pretrain            # stage 1
+  python -m fasterseg_tpu.cli.train_search --load runs/pretrain  # stage 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pretrain", action="store_true",
+                   help="supernet pretrain stage (no arch updates)")
+    p.add_argument("--load", default=None,
+                   help="pretrained weights dir to start the search from")
+    p.add_argument("--data-root", default=None)
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic data (smoke runs without Cityscapes)")
+    p.add_argument("--save", default="runs/search")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--niters", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--layers", type=int, default=None)
+    p.add_argument("--Fch", type=int, default=None)
+    p.add_argument("--lut", default=None, help="latency LUT json path")
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax.numpy as jnp
+    from ..core.config import (cityscapes_pretrain_config,
+                               cityscapes_search_config)
+    from ..data import Cityscapes, DataSetting, SyntheticDataset
+    from ..latency import LatencyLUT, TpuCostModel
+    from ..search import run_search
+    from ..utils.logging import create_exp_dir, get_logger
+
+    cfg = (cityscapes_pretrain_config() if args.pretrain
+           else cityscapes_search_config())
+    data = cfg.data
+    if args.data_root:
+        data = dataclasses.replace(data, dataset_path=args.data_root)
+    if args.synthetic:
+        data = dataclasses.replace(data, synthetic=True)
+    if args.batch_size:
+        data = dataclasses.replace(data, batch_size=args.batch_size)
+    overrides = dict(data=data)
+    if args.layers:
+        overrides["layers"] = args.layers
+    if args.Fch:
+        overrides["Fch"] = args.Fch
+    cfg = dataclasses.replace(cfg, **overrides)
+
+    save_dir = create_exp_dir(args.save,
+                              "pretrain" if args.pretrain else "search")
+    logger = get_logger(log_file=os.path.join(save_dir, "log.txt"))
+    logger.info("config: %s", cfg)
+
+    lut = LatencyLUT(args.lut, provider=TpuCostModel().provider)
+    val_dataset = None
+    if not args.synthetic and args.data_root:
+        setting = DataSetting(
+            img_root=data.dataset_path, gt_root=data.dataset_path,
+            train_source=os.path.join(data.dataset_path, data.train_source),
+            eval_source=os.path.join(data.dataset_path, data.eval_source),
+            down_sampling=data.down_sampling)
+        val_dataset = Cityscapes(setting, "val")
+
+    engine = run_search(cfg, val_dataset=val_dataset, epochs=args.epochs,
+                        niters=args.niters, save_dir=save_dir, lut=lut)
+    logger.info("done; artifacts in %s", save_dir)
+    return engine
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Architect: bi-level architecture-parameter optimization.
+
+Equivalent of search/architect.py: first-order DARTS — one Adam
+(lr 3e-4, betas (0.5, 0.999), no weight decay; architect.py:22-24) over
+all alpha/beta/ratio parameters, minimizing validation-batch supernet loss
+plus a fine-grained latency penalty (architect.py:55-76):
+
+  loss_latency = sum_idx w_idx * [ r0 * E_lat(alpha | beta uniform, width max)
+                                 + r1 * E_lat(beta  | alpha uniform, width max)
+                                 + r2 * E_lat(width | alpha,beta uniform) ]
+  (r0, r1, r2) = (1, 497, 2)/500  (or (1, 499)/500 with a single width)
+
+The latency weights w_idx are traced scalars so the FPS-band controller
+(train_search.py:204-212) can double/halve them without recompiling.
+The unrolled second-order DARTS path (architect.py:78-127) is dead code in
+the reference (config_search.py:107 unrolled=False) and is intentionally
+not reproduced.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..latency.estimator import expected_latency_ms
+from .gumbel import sample_ratios
+
+
+def make_arch_optimizer(lr: float = 3e-4) -> optax.GradientTransformation:
+    return optax.adam(learning_rate=lr, b1=0.5, b2=0.999)
+
+
+def latency_terms(tables, stem_ms_per_arch: Sequence[float], arch_params,
+                  keys, layers: int, num_widths: int, prun_modes,
+                  stem_pins, head_pins):
+    """Per-arch expected latency with the reference's alpha/beta/ratio
+    split (architect.py:62-74). Returns {arch_idx: latency_ms}."""
+    out: Dict[int, jax.Array] = {}
+    if num_widths == 1:
+        r0, r1, r2 = 1.0 / 500, 499.0 / 500, 0.0
+    else:
+        r0, r1, r2 = 1.0 / 500, 497.0 / 500, 2.0 / 500
+    for idx, ap in arch_params.items():
+        max_ratios = sample_ratios(keys[idx], ap.ratios, "max", num_widths)
+        stem_ms = stem_ms_per_arch[idx]
+        args = dict(tables=tables, stem_ms=stem_ms, layers=layers,
+                    stem_pin=stem_pins[idx], head_pin=head_pins[idx])
+        lat = r0 * expected_latency_ms(
+            alphas=ap.alphas, betas=ap.betas, ratios=max_ratios,
+            use_alpha=True, use_beta=False, **args)
+        lat = lat + r1 * expected_latency_ms(
+            alphas=ap.alphas, betas=ap.betas, ratios=max_ratios,
+            use_alpha=False, use_beta=True, **args)
+        if r2 > 0:
+            g_ratios = sample_ratios(keys[idx], ap.ratios,
+                                     prun_modes[idx], num_widths)
+            lat = lat + r2 * expected_latency_ms(
+                alphas=ap.alphas, betas=ap.betas, ratios=g_ratios,
+                use_alpha=False, use_beta=False, **args)
+        out[idx] = lat
+    return out
+
+
+def make_arch_step(supernet_loss_fn: Callable, tables, stem_ms_per_arch,
+                   layers: int, num_widths: int, prun_modes,
+                   stem_pins, head_pins,
+                   tx: optax.GradientTransformation) -> Callable:
+    """Build the jitted arch step.
+
+    step(arch_params, opt_state, params, batch_stats, imgs, tgts, key,
+         latency_weights) -> (arch_params, opt_state, batch_stats, metrics)
+    """
+
+    def loss_fn(arch_params, params, batch_stats, imgs, tgts, key,
+                latency_weights):
+        k_loss, k_lat = jax.random.split(key)
+        loss, new_stats = supernet_loss_fn(params, batch_stats, imgs, tgts,
+                                           arch_params, k_loss,
+                                           pretrain=False)
+        lat_keys = jax.random.split(k_lat, len(arch_params))
+        lats = latency_terms(tables, stem_ms_per_arch, arch_params,
+                             lat_keys, layers, num_widths, prun_modes,
+                             stem_pins, head_pins)
+        loss_latency = sum(latency_weights[i] * l for i, l in lats.items())
+        supernet_ms = sum(lats.values())
+        return loss + loss_latency, (new_stats, loss, loss_latency,
+                                     supernet_ms)
+
+    def step(arch_params, opt_state, params, batch_stats, imgs, tgts, key,
+             latency_weights):
+        grads, (new_stats, loss, loss_lat, supernet_ms) = jax.grad(
+            loss_fn, has_aux=True)(arch_params, params, batch_stats, imgs,
+                                   tgts, key, latency_weights)
+        updates, opt_state = tx.update(grads, opt_state, arch_params)
+        arch_params = optax.apply_updates(arch_params, updates)
+        metrics = {"loss_arch": loss, "loss_latency": loss_lat,
+                   "latency_supernet_ms": supernet_ms}
+        return arch_params, opt_state, new_stats, metrics
+
+    return step
+
+
+class LatencyWeightController:
+    """FPS-band feedback on the latency penalty
+    (train_search.py:204-212): halve when either decoded branch is at or
+    above FPS_max, double when either is at or below FPS_min."""
+
+    def __init__(self, latency_weight: Sequence[float],
+                 fps_min: Sequence[float], fps_max: Sequence[float]):
+        self.weights = list(latency_weight)
+        self.fps_min = list(fps_min)
+        self.fps_max = list(fps_max)
+
+    def update(self, arch_idx: int, fps0: float, fps1: float) -> float:
+        if self.weights[arch_idx] > 0:
+            if fps0 >= self.fps_max[arch_idx] or fps1 >= self.fps_max[arch_idx]:
+                self.weights[arch_idx] /= 2
+            elif fps0 <= self.fps_min[arch_idx] or fps1 <= self.fps_min[arch_idx]:
+                self.weights[arch_idx] *= 2
+        return self.weights[arch_idx]

@@ -1,0 +1,366 @@
+"""Search engine: supernet pretrain + bi-level architecture search.
+
+Equivalent of search/train_search.py. Per step (train_search.py:223-253):
+arch step on a held-out half-split batch (Architect), then a weight step
+(SGD momentum, grad-clip 5) on the supernet multi-forward loss
+(model_search.py:478-505):
+
+  search  : per-arch Gumbel-width forward + max-width + min-width passes
+  pretrain: max + min + 2x random width passes (the universally-slimmable
+            "sandwich rule"), no arch updates
+
+Per epoch: validation of all 5 heads, decoded-architecture FPS estimate
+(arch_logging, train_search.py:274-303), checkpointing, and the FPS-band
+latency-weight controller.
+
+Reference quirks replicated deliberately:
+* pretrain sandwich passes run with arch_idx=0 (the reference never moves
+  arch_idx during pretrain); search-phase max/min passes run with the last
+  arch (train_search loop leaves arch_idx at 1).
+Deviation: validation samples the student's Gumbel widths once per
+validation pass rather than per image (the reference resamples per
+forward via global RNG) — the estimate is equally stochastic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import SearchConfig
+from ..core.genotype import ArchParams, decode_network
+from ..core.plan import build_plan
+from ..data import SyntheticDataset, get_train_loader
+from ..eval.evaluator import Evaluator
+from ..latency import (LatencyLUT, TpuCostModel, build_supernet_tables,
+                       derived_latency_ms, stem_latency_ms)
+from ..models.supernet import ArchParamsPytree, Supernet, init_supernet
+from ..train.loss import ohem_cross_entropy
+from ..train.loop import TrainState
+from ..utils.checkpoint import save_arch, save_pytree
+from .architect import (LatencyWeightController, latency_terms,
+                        make_arch_optimizer)
+from .gumbel import sample_ratios
+
+logger = logging.getLogger("fasterseg_tpu.search")
+
+
+class SearchEngine:
+    def __init__(self, config: SearchConfig, lut: Optional[LatencyLUT] = None,
+                 dtype=jnp.float32, input_hw=None):
+        self.config = config
+        c = config
+        self.wml = tuple(c.width_mult_list)
+        self.nw = len(self.wml)
+        self.prun_modes = tuple(c.prun_modes)
+        self.num_widths_per_arch = [
+            self.nw if m == "arch_ratio" else 1 for m in self.prun_modes]
+        self.input_hw = input_hw or (c.data.image_height, c.data.image_width)
+
+        self.model = Supernet(
+            layers=c.layers, num_classes=c.num_classes, Fch=c.Fch,
+            width_mult_list=self.wml, stem_head_width=tuple(c.stem_head_width),
+            dtype=dtype)
+        variables = init_supernet(self.model, jax.random.PRNGKey(c.seed),
+                                  self.input_hw, self.num_widths_per_arch)
+        self.arch_params: Dict[int, ArchParamsPytree] = {
+            i: ArchParamsPytree.create(c.layers, num_widths=nwi)
+            for i, nwi in enumerate(self.num_widths_per_arch)}
+
+        # weight optimizer (train_search.py:83-101)
+        lr = 2e-2 if c.pretrain else c.lr
+        steps = c.niters_per_epoch(bool(c.pretrain))
+        schedule = optax.exponential_decay(lr, steps, c.lr_decay,
+                                           staircase=True)
+        self.weight_tx = optax.chain(
+            optax.add_decayed_weights(c.weight_decay),
+            optax.sgd(schedule, momentum=c.momentum))
+        self.state = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.weight_tx.init(variables["params"]),
+            step=jnp.zeros((), jnp.int32))
+
+        # arch optimizer (architect.py:22-24)
+        self.arch_tx = make_arch_optimizer(c.arch_learning_rate)
+        self.arch_opt_state = self.arch_tx.init(self.arch_params)
+
+        # latency tables (architect latency input, architect.py:66)
+        self.lut = lut or LatencyLUT(provider=TpuCostModel().provider)
+        tables = build_supernet_tables(self.lut, c.layers, c.Fch, self.wml,
+                                       c.latency_input_hw)
+        self.tables = {k: jnp.asarray(v) for k, v in tables.items()}
+        self.stem_ms = [stem_latency_ms(self.lut, c.Fch, shw[0],
+                                        c.latency_input_hw)
+                        for shw in c.stem_head_width]
+        self.stem_pins = [self.model.width_pin(shw[0])
+                          for shw in c.stem_head_width]
+        self.head_pins = [self.model.width_pin(shw[1])
+                          for shw in c.stem_head_width]
+
+        self.controller = LatencyWeightController(
+            c.latency_weight, c.fps_min, c.fps_max)
+        self.min_kept = c.min_kept(bool(c.pretrain))
+        self._jits = {}
+        self.metrics_log: List[dict] = []
+
+    # ---------------- losses and steps ----------------
+
+    def supernet_loss(self, params, batch_stats, x, y, arch_params, key,
+                      pretrain: bool):
+        """model_search.py:478-505 multi-forward loss; returns
+        (loss, new_batch_stats)."""
+        crit = functools.partial(ohem_cross_entropy, ignore_label=255,
+                                 thresh=0.7, min_kept=self.min_kept)
+        stats = batch_stats
+        total = jnp.float32(0.0)
+        n_arch = len(arch_params)
+        keys = jax.random.split(key, n_arch + 4)
+
+        def fwd(arch_idx, ap, ratios, stats):
+            preds, mut = self.model.apply(
+                {"params": params, "batch_stats": stats}, x, arch_idx,
+                ap.alphas, ap.betas, ratios, train=True,
+                mutable=["batch_stats"])
+            return (sum(crit(p, y) for p in preds),
+                    mut["batch_stats"])
+
+        if not pretrain:
+            for idx in range(n_arch):
+                ap = arch_params[idx]
+                ratios = sample_ratios(keys[idx], ap.ratios,
+                                       self.prun_modes[idx], self.nw)
+                l, stats = fwd(idx, ap, ratios, stats)
+                total = total + l
+        if self.nw > 1:
+            sandwich_arch = 0 if pretrain else n_arch - 1
+            ap = arch_params[sandwich_arch]
+            modes = ["max", "min"] + (["random", "random"] if pretrain else [])
+            for m, mode in enumerate(modes):
+                ratios = sample_ratios(keys[n_arch + m], ap.ratios, mode,
+                                       self.nw)
+                l, stats = fwd(sandwich_arch, ap, ratios, stats)
+                total = total + l
+        elif pretrain:
+            ratios = sample_ratios(keys[-1], arch_params[0].ratios, "max",
+                                   self.nw)
+            l, stats = fwd(0, arch_params[0], ratios, stats)
+            total = total + l
+        return total, stats
+
+    def _weight_step(self, pretrain: bool):
+        key = ("weight", pretrain)
+        if key in self._jits:
+            return self._jits[key]
+
+        def step(state: TrainState, arch_params, x, y, rng):
+            def loss_fn(params):
+                return self.supernet_loss(params, state.batch_stats, x, y,
+                                          arch_params, rng, pretrain)
+            (loss, new_stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            grads, _ = optax.clip_by_global_norm(
+                self.config.grad_clip).update(grads, None)
+            updates, opt = self.weight_tx.update(grads, state.opt_state,
+                                                 state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(params=params, batch_stats=new_stats,
+                                 opt_state=opt, step=state.step + 1), loss
+
+        self._jits[key] = jax.jit(step)
+        return self._jits[key]
+
+    def _arch_step(self):
+        if "arch" in self._jits:
+            return self._jits["arch"]
+
+        def loss_fn(arch_params, params, stats, x, y, rng, lat_w):
+            k1, k2 = jax.random.split(rng)
+            loss, new_stats = self.supernet_loss(params, stats, x, y,
+                                                 arch_params, k1, False)
+            lat_keys = jax.random.split(k2, len(arch_params))
+            lats = latency_terms(self.tables, self.stem_ms, arch_params,
+                                 lat_keys, self.config.layers, self.nw,
+                                 self.prun_modes, self.stem_pins,
+                                 self.head_pins)
+            loss_lat = sum(lat_w[i] * l for i, l in lats.items())
+            supernet_ms = lats[len(lats) - 1]
+            return loss + loss_lat, (new_stats, loss, loss_lat, supernet_ms)
+
+        def step(arch_params, arch_opt, params, stats, x, y, rng, lat_w):
+            grads, aux = jax.grad(loss_fn, has_aux=True)(
+                arch_params, params, stats, x, y, rng, lat_w)
+            new_stats, loss, loss_lat, sup_ms = aux
+            updates, arch_opt = self.arch_tx.update(grads, arch_opt,
+                                                    arch_params)
+            arch_params = jax.tree.map(
+                lambda p, u: p + u, arch_params, updates)
+            return arch_params, arch_opt, new_stats, {
+                "loss_arch": loss, "loss_latency": loss_lat,
+                "latency_supernet_ms": sup_ms}
+
+        self._jits["arch"] = jax.jit(step)
+        return self._jits["arch"]
+
+    # ---------------- epoch orchestration ----------------
+
+    def train_epoch(self, loader_model, loader_arch, epoch: int,
+                    pretrain: bool, update_arch: bool,
+                    niters: Optional[int] = None):
+        niters = niters or self.config.niters_per_epoch(pretrain)
+        wstep = self._weight_step(pretrain)
+        astep = self._arch_step() if update_arch else None
+        it_model = iter(loader_model)
+        it_arch = iter(loader_arch) if update_arch else None
+        base = jax.random.PRNGKey(self.config.seed + 1)
+        last = {}
+        for step in range(niters):
+            rng = jax.random.fold_in(base, epoch * niters + step)
+            if update_arch:
+                xa, ya = next(it_arch)
+                lat_w = jnp.asarray(self.controller.weights, jnp.float32)
+                self.arch_params, self.arch_opt_state, new_stats, am = astep(
+                    self.arch_params, self.arch_opt_state, self.state.params,
+                    self.state.batch_stats, jnp.asarray(xa), jnp.asarray(ya),
+                    rng, lat_w)
+                self.state = self.state.replace(batch_stats=new_stats)
+                last.update({k: float(v) for k, v in am.items()})
+            x, y = next(it_model)
+            self.state, loss = wstep(self.state, self.arch_params,
+                                     jnp.asarray(x), jnp.asarray(y),
+                                     jax.random.fold_in(rng, 1))
+            last["loss"] = float(loss)
+        self.metrics_log.append({"epoch": epoch, **last})
+        return last
+
+    # ---------------- validation / decode / fps ----------------
+
+    def eval_forward_fn(self, arch_idx: int, out_idx: int, prun_mode,
+                        key=None):
+        ap = self.arch_params[arch_idx]
+        mode = prun_mode or self.prun_modes[arch_idx]
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        ratios = sample_ratios(key, ap.ratios, mode, self.nw)
+
+        def forward(variables, images):
+            preds = self.model.apply(variables, images, arch_idx,
+                                     ap.alphas, ap.betas, ratios,
+                                     train=False)
+            return preds[out_idx]
+        return forward
+
+    def validate(self, val_dataset, arch_idx: int, prun_mode=None,
+                 max_items: Optional[int] = None) -> List[float]:
+        """mIoU of all five heads (train_search.py:260-271)."""
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats}
+        mious = []
+        for out_idx in range(5):
+            ev = Evaluator(val_dataset, self.config.num_classes,
+                           self.config.data.image_mean,
+                           self.config.data.image_std,
+                           self.eval_forward_fn(arch_idx, out_idx,
+                                                prun_mode),
+                           eval_scales=self.config.eval.eval_scale_array,
+                           eval_flip=self.config.eval.eval_flip)
+            mious.append(ev.run(variables, max_items=max_items).mean_iu)
+        return mious
+
+    def numpy_arch(self, arch_idx: int) -> ArchParams:
+        ap = self.arch_params[arch_idx]
+        return ArchParams(
+            alphas=[np.asarray(a, np.float64) for a in ap.alphas],
+            betas=[None, np.asarray(ap.betas[1], np.float64),
+                   np.asarray(ap.betas[2], np.float64)],
+            ratios=[np.asarray(r, np.float64) for r in ap.ratios])
+
+    def arch_fps(self, arch_idx: int):
+        """Decoded-net FPS estimates for branch pairs [2,0] and [2,1]
+        (arch_logging, train_search.py:274-303)."""
+        c = self.config
+        arch = self.numpy_arch(arch_idx)
+        genos = decode_network(arch, self.wml, c.layers, ignore_skip=False)
+        fps = []
+        for lasts in ([2, 0], [2, 1]):
+            plan = build_plan(genos, lasts, Fch=c.Fch,
+                              num_classes=c.num_classes,
+                              stem_head_width=c.stem_head_width[arch_idx])
+            ms = derived_latency_ms(self.lut, plan, c.latency_input_hw)
+            fps.append(1000.0 / ms)
+        return fps[0], fps[1]
+
+    # ---------------- persistence ----------------
+
+    def save(self, save_dir: str, epoch: int, metrics: Optional[dict] = None):
+        os.makedirs(save_dir, exist_ok=True)
+        save_pytree(os.path.join(save_dir, f"weights_ckpt"),
+                    {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats})
+        m = metrics or {}
+        for idx in range(len(self.arch_params)):
+            arch = self.numpy_arch(idx)
+            for path in (os.path.join(save_dir, f"arch_{idx}.npz"),
+                         os.path.join(save_dir, f"arch_{idx}_{epoch}.npz")):
+                save_arch(path, arch,
+                          mIoU02=m.get("mIoU02"), latency02=m.get("latency02"),
+                          mIoU12=m.get("mIoU12"), latency12=m.get("latency12"))
+
+
+def run_search(config: SearchConfig, val_dataset=None, epochs=None,
+               niters=None, save_dir=None, max_eval_items=8,
+               lut: Optional[LatencyLUT] = None) -> SearchEngine:
+    """Full driver (train_search.py:36-212): pretrain when config.pretrain
+    is True, otherwise bi-level search with latency control."""
+    pretrain = bool(config.pretrain)
+    update_arch = not pretrain
+    engine = SearchEngine(config, lut=lut)
+
+    loader_model = get_train_loader(config, None,
+                                    portion=config.train_portion)
+    loader_arch = get_train_loader(config, None,
+                                   portion=config.train_portion - 1)
+    if val_dataset is None:
+        val_dataset = SyntheticDataset(
+            length=max_eval_items,
+            hw=(config.eval.eval_height, config.eval.eval_width),
+            num_classes=config.num_classes)
+
+    epochs = epochs or config.nepochs
+    for epoch in range(epochs):
+        stats = engine.train_epoch(loader_model, loader_arch, epoch,
+                                   pretrain, update_arch, niters=niters)
+        logger.info("epoch %d: %s", epoch, stats)
+
+        metrics = {}
+        if pretrain:
+            for mode in ("min", "max", "random"):
+                mious = engine.validate(val_dataset, 0, prun_mode=mode,
+                                        max_items=max_eval_items)
+                logger.info("epoch %d pretrain val[%s]: %s", epoch, mode,
+                            ["%.3f" % m for m in mious])
+        else:
+            for idx in range(len(engine.arch_params)):
+                mious = engine.validate(val_dataset, idx,
+                                        max_items=max_eval_items)
+                fps0, fps1 = engine.arch_fps(idx)
+                metrics.update({"mIoU02": mious[3], "mIoU12": mious[4],
+                                "latency02": 1000.0 / fps0,
+                                "latency12": 1000.0 / fps1})
+                w = engine.controller.update(idx, fps0, fps1)
+                logger.info("epoch %d arch %d val: %s fps=(%.1f, %.1f) "
+                            "lat_w=%g", epoch, idx,
+                            ["%.3f" % m for m in mious], fps0, fps1, w)
+        if save_dir:
+            engine.save(save_dir, epoch, metrics)
+    loader_model.close()
+    loader_arch.close()
+    return engine

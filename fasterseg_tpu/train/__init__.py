@@ -14,3 +14,10 @@ from .loop import (
     make_train_step,
     make_eval_step,
 )
+from .driver import (
+    TrainSession,
+    run_train,
+    build_model_from_arch,
+    load_arch_any,
+    write_test_predictions,
+)

@@ -1,0 +1,94 @@
+"""End-to-end search engine tests on a tiny supernet + synthetic data.
+
+Covers: pretrain (sandwich rule, no arch updates), bi-level search (arch
+step moves alpha/beta/ratio, latency penalty, FPS-band controller),
+validation of all 5 heads, decode-to-FPS, and checkpoint artifacts.
+"""
+
+import dataclasses
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fasterseg_tpu.core.config import SearchConfig, DataConfig, EvalConfig
+from fasterseg_tpu.data import SyntheticDataset
+from fasterseg_tpu.search import run_search
+
+
+def tiny_config(pretrain: bool) -> SearchConfig:
+    data = DataConfig(synthetic=True, synthetic_length=8,
+                      image_height=64, image_width=128, batch_size=2,
+                      gt_down_sampling=8, num_classes=19)
+    return SearchConfig(
+        data=data,
+        eval=EvalConfig(eval_height=64, eval_width=128),
+        layers=5, Fch=8, pretrain=pretrain,
+        latency_weight=(0.0, 1e-2),
+        fps_min=(0.0, 1e9),   # force controller to double the weight
+        fps_max=(0.0, 1e12),
+    )
+
+
+@pytest.fixture(scope="module")
+def val_dataset():
+    return SyntheticDataset(length=2, hw=(64, 128), num_classes=19)
+
+
+def test_pretrain_one_epoch(val_dataset, tmp_path_factory):
+    cfg = tiny_config(pretrain=True)
+    engine = run_search(cfg, val_dataset=val_dataset, epochs=1, niters=2,
+                        max_eval_items=1,
+                        save_dir=str(tmp_path_factory.mktemp("pre")))
+    # arch params must be untouched in pretrain
+    ap = engine.arch_params[1]
+    np.testing.assert_allclose(np.asarray(ap.alphas[0]), 1e-3)
+    assert np.isfinite(engine.metrics_log[-1]["loss"])
+
+
+def test_search_updates_arch_and_controller(val_dataset, tmp_path):
+    cfg = tiny_config(pretrain=False)
+    engine = run_search(cfg, val_dataset=val_dataset, epochs=1, niters=2,
+                        max_eval_items=1, save_dir=str(tmp_path))
+    m = engine.metrics_log[-1]
+    assert np.isfinite(m["loss"]) and np.isfinite(m["loss_arch"])
+    assert m["latency_supernet_ms"] > 0
+    # arch step moved the student's arch params
+    ap = engine.arch_params[1]
+    assert float(np.abs(np.asarray(ap.alphas[0]) - 1e-3).max()) > 0
+    assert float(np.abs(np.asarray(ap.betas[1]) - 1e-3).max()) > 0
+    assert float(np.abs(np.asarray(ap.ratios[0]) - 1e-3).max()) > 0
+    # teacher has zero latency weight; its params still get loss gradients
+    ap0 = engine.arch_params[0]
+    assert float(np.abs(np.asarray(ap0.alphas[0]) - 1e-3).max()) > 0
+    # fps estimates and controller doubling (fps_min=1e9 forces x2)
+    fps0, fps1 = engine.arch_fps(1)
+    assert fps0 > 0 and fps1 > 0
+    assert engine.controller.weights[1] == pytest.approx(2e-2)
+    # artifacts
+    assert os.path.exists(os.path.join(tmp_path, "arch_1.npz"))
+    d = np.load(os.path.join(tmp_path, "arch_1.npz"))
+    assert d["alpha0"].shape == (5, 5)
+    assert "mIoU02" in d and "latency12" in d
+
+
+def test_decoded_arch_is_buildable(val_dataset):
+    """Searched (even briefly) arch params must decode into a valid plan
+    and network — exercises decode invariants on non-shipped params."""
+    import jax
+    from fasterseg_tpu.core import decode_network, build_plan, WIDTH_MULT_LIST
+    from fasterseg_tpu.models import create_derived, DerivedNet
+
+    cfg = tiny_config(pretrain=False)
+    from fasterseg_tpu.search import SearchEngine
+    engine = SearchEngine(cfg)
+    arch = engine.numpy_arch(1)
+    genos = decode_network(arch, WIDTH_MULT_LIST, layers=cfg.layers,
+                           ignore_skip=False)
+    plan = build_plan(genos, [2, 1], Fch=cfg.Fch, num_classes=19,
+                      stem_head_width=cfg.stem_head_width[1])
+    model, variables = create_derived(plan, jax.random.PRNGKey(0),
+                                      input_hw=(64, 128))
+    out = model.apply(variables, jnp.zeros((1, 64, 128, 3)), train=False)
+    assert out.shape == (1, 64, 128, 19)
