@@ -1,0 +1,104 @@
+"""Fused TPU kernels for the inference hot path.
+
+`upsample8_argmax`: the serving head — align-corners bilinear x8 upsample
+of the 1/8-resolution class logits fused with channel argmax, emitting the
+full-resolution class map directly. The reference pipeline (and our plain
+XLA eval path) materializes full-resolution logits in HBM
+(1024x2048x19 ~ 80-160 MB per frame) before the argmax
+(evaluator.py:206-225); this kernel keeps everything in VMEM:
+
+  HBM traffic: read p8 (~1.2 MB) + write class map (~8 MB int32)
+  vs ~160 MB for the unfused path — a ~20x reduction on the
+  bandwidth-bound tail of every served frame.
+
+Implementation: interpolation along each axis is a contraction with a
+constant 2-nonzeros-per-row matrix. Per output row-tile and per channel:
+(TH, H8) @ (H8, W8) on the MXU for the H axis, then (TH, W8) @ (W8, W)
+for the W axis, with a running max/argmax across channels. All shapes are
+lane-aligned; the logits never leave VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.resize import _ac_coords
+
+
+def _interp_matrix(in_size: int, out_size: int, dtype=np.float32) -> np.ndarray:
+    """(out, in) align-corners linear interpolation matrix."""
+    lo, hi, t = _ac_coords(in_size, out_size)
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), lo] += 1.0 - t
+    m[np.arange(out_size), hi] += t
+    return m.astype(dtype)
+
+
+def _kernel(p8_ref, mh_ref, mwt_ref, out_ref, *, num_classes: int):
+    th = mh_ref.shape[0]
+    w = mwt_ref.shape[1]
+    best_v = jnp.full((th, w), -jnp.inf, jnp.float32)
+    best_i = jnp.zeros((th, w), jnp.int32)
+    mh = mh_ref[:]
+    mwt = mwt_ref[:]
+    for c in range(num_classes):
+        t = jnp.dot(mh, p8_ref[c], preferred_element_type=jnp.float32)
+        v = jnp.dot(t.astype(mwt.dtype), mwt,
+                    preferred_element_type=jnp.float32)
+        upd = v > best_v
+        best_v = jnp.where(upd, v, best_v)
+        best_i = jnp.where(upd, c, best_i)
+    out_ref[:] = best_i
+
+
+@functools.partial(jax.jit, static_argnames=("out_hw", "tile_h"))
+def upsample8_argmax(p8: jax.Array, out_hw: Tuple[int, int] = None,
+                     tile_h: int = 64) -> jax.Array:
+    """p8: (1, H8, W8, C) logits -> (1, H, W) int32 class map where
+    (H, W) = out_hw (default 8x the input)."""
+    assert p8.shape[0] == 1, "batch-1 serving kernel"
+    h8, w8, c = p8.shape[1], p8.shape[2], p8.shape[3]
+    if out_hw is None:
+        out_hw = (h8 * 8, w8 * 8)
+    H, W = out_hw
+    assert H % tile_h == 0, (H, tile_h)
+
+    mh = jnp.asarray(_interp_matrix(h8, H, np.float32), p8.dtype)
+    mwt = jnp.asarray(_interp_matrix(w8, W, np.float32).T, p8.dtype)
+    pcf = jnp.transpose(p8[0], (2, 0, 1))  # (C, H8, W8)
+
+    grid = (H // tile_h,)
+    out = pl.pallas_call(
+        functools.partial(_kernel, num_classes=c),
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c, h8, w8), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, h8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w8, W), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_h, W), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(pcf, mh, mwt)
+    return out[None]
+
+
+def upsample8_argmax_xla(p8: jax.Array,
+                         out_hw: Tuple[int, int] = None) -> jax.Array:
+    """Reference-exact unfused path (for parity tests / non-TPU backends)."""
+    from ..ops.resize import resize_bilinear
+    h8, w8 = p8.shape[1], p8.shape[2]
+    if out_hw is None:
+        out_hw = (h8 * 8, w8 * 8)
+    logits = resize_bilinear(p8.astype(jnp.float32), out_hw)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
