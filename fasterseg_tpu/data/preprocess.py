@@ -115,7 +115,13 @@ def random_crop_pad(rng: np.random.Generator, img, gt,
 
 @dataclasses.dataclass
 class TrainPre:
-    """The full augmentation chain (search/dataloader.py:14-31)."""
+    """The full augmentation chain (search/dataloader.py:14-31).
+
+    When the first-party native (C++) kernels are available the hot ops —
+    resize, mirror, fused crop+pad+normalize — run through them
+    (data/native.py); the numpy/cv2 path is the semantics reference
+    (parity pinned in tests/test_native.py and test_data.py).
+    """
 
     image_mean: Sequence[float]
     image_std: Sequence[float]
@@ -123,9 +129,17 @@ class TrainPre:
     train_scale_array: Optional[Sequence[float]] = (0.75, 1.0, 1.25)
     gt_down_sampling: int = 1
     ignore_label: int = 255
+    use_native: bool = True
 
     def __call__(self, rng: np.random.Generator, img: np.ndarray,
                  gt: Optional[np.ndarray]):
+        if self.use_native and img.dtype == np.uint8:
+            from . import native
+            if native.available():
+                return self._call_native(rng, img, gt, native)
+        return self._call_numpy(rng, img, gt)
+
+    def _call_numpy(self, rng, img, gt):
         img, gt = random_mirror(rng, img, gt)
         if self.train_scale_array is not None:
             img, gt, _ = random_scale(rng, img, gt, self.train_scale_array)
@@ -140,6 +154,35 @@ class TrainPre:
         gt = (np.ascontiguousarray(gt, np.int32)
               if gt is not None else None)
         return img, gt
+
+    def _call_native(self, rng, img, gt, native):
+        # identical RNG draw order to the numpy path
+        if rng.random() >= 0.5:
+            img = native.mirror_u8(img)
+            gt = gt[:, ::-1] if gt is not None else None
+        if self.train_scale_array is not None:
+            scale = self.train_scale_array[
+                rng.integers(0, len(self.train_scale_array))]
+            sh, sw = int(img.shape[0] * scale), int(img.shape[1] * scale)
+            img = native.resize_bilinear_u8(img, sh, sw)
+            if gt is not None:
+                gt = native.resize_nearest_u8(
+                    np.ascontiguousarray(gt), sh, sw)
+        h, w = img.shape[:2]
+        ch, cw = self.crop_hw
+        pos_h = int(rng.integers(0, h - ch + 2)) if h > ch else 0
+        pos_w = int(rng.integers(0, w - cw + 2)) if w > cw else 0
+        out = native.crop_pad_normalize(img, pos_h, pos_w, ch, cw,
+                                        self.image_mean, self.image_std)
+        gt_out = None
+        if gt is not None:
+            gt_out = native.crop_pad_u8(gt, pos_h, pos_w, ch, cw,
+                                        pad=self.ignore_label)
+            if self.gt_down_sampling > 1:
+                d = self.gt_down_sampling
+                gt_out = native.resize_nearest_u8(gt_out, ch // d, cw // d)
+            gt_out = gt_out.astype(np.int32)
+        return out, gt_out
 
 
 def eval_preprocess(img: np.ndarray, mean, std) -> np.ndarray:

@@ -82,6 +82,28 @@ def test_random_scale_set():
     assert seen == {0.75, 1.0, 1.25}
 
 
+def test_train_pre_native_matches_numpy():
+    from fasterseg_tpu.data import native
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    pre_n = TrainPre(image_mean=(0.485, 0.456, 0.406),
+                     image_std=(0.229, 0.224, 0.225), crop_hw=(32, 64),
+                     gt_down_sampling=8, use_native=True)
+    pre_p = TrainPre(image_mean=(0.485, 0.456, 0.406),
+                     image_std=(0.229, 0.224, 0.225), crop_hw=(32, 64),
+                     gt_down_sampling=8, use_native=False)
+    ds = SyntheticDataset(length=3, hw=(48, 80))
+    for i in range(3):
+        s = ds[i]
+        a_img, a_gt = pre_n(np.random.default_rng((5, i)), s["data"],
+                            s["label"])
+        b_img, b_gt = pre_p(np.random.default_rng((5, i)), s["data"],
+                            s["label"])
+        # native resize is float-exact vs cv2 within 1 uint8 LSB
+        np.testing.assert_allclose(a_img, b_img, atol=1.5 / 255 / 0.2)
+        np.testing.assert_array_equal(a_gt, b_gt)
+
+
 def test_loader_batches_and_portion_split():
     cfg = cityscapes_search_config()
     d = dataclasses.replace(cfg.data, synthetic=True, synthetic_length=16,
