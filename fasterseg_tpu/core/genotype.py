@@ -178,7 +178,10 @@ def alphas_to_ops_path_width(alphas: List[np.ndarray], path: List[int],
     MUTATES `alphas` in place (-inf writes), as the reference does.
     """
     assert len(path) == len(widths) + 1
-    min_len = int(np.round(len(path) / 3.0)) + path[-1] * 2
+    # clamped to the path length: the reference formula (model_seg.py:49)
+    # exceeds it for very small supernets (L < 9 with last=2), where its
+    # own assert would be unsatisfiable; for the real L=16 they coincide
+    min_len = min(int(np.round(len(path) / 3.0)) + path[-1] * 2, len(path))
 
     pos2alpha_skips = []  # (pos, softmax score of skip) candidates to prune
     for i in range(len(path)):

@@ -72,11 +72,12 @@ def slope_time_ms(fn: Callable, args: Sequence, n1: int = 4, n2: int = 16,
             c = jnp.float32(0.0)
             first = args[0]
             rest = args[1:]
-            out = None
             for _ in range(n):
                 out = fn(first + c.astype(first.dtype), *rest)
                 out0 = jax.tree.leaves(out)[0]
-                c = jnp.sum(out0.astype(jnp.float32).reshape(-1)[:8]) * 1e-9
+                # FULL reduction: consuming only a slice would let XLA
+                # dead-code-eliminate most of the computation
+                c = jnp.mean(out0.astype(jnp.float32)) * 1e-9
             return c
         return jax.jit(run)
 

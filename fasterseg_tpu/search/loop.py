@@ -243,37 +243,55 @@ class SearchEngine:
 
     # ---------------- validation / decode / fps ----------------
 
-    def eval_forward_fn(self, arch_idx: int, out_idx: int, prun_mode,
-                        key=None):
-        ap = self.arch_params[arch_idx]
-        mode = prun_mode or self.prun_modes[arch_idx]
-        if key is None:
-            key = jax.random.PRNGKey(0)
-        ratios = sample_ratios(key, ap.ratios, mode, self.nw)
+    def _eval_program(self, arch_idx: int):
+        """One jit: image batch + width samples -> per-head confusion
+        hists. Evaluating all 5 heads in one forward (vs the reference's
+        5 separate eval passes, train_search.py:260-266) and passing the
+        ratio samples as traced args keeps this a single compile."""
+        key = ("eval", arch_idx)
+        if key in self._jits:
+            return self._jits[key]
+        ap_struct = self.arch_params[arch_idx]
 
-        def forward(variables, images):
+        def program(variables, images, labels, alphas, betas, ratios):
             preds = self.model.apply(variables, images, arch_idx,
-                                     ap.alphas, ap.betas, ratios,
-                                     train=False)
-            return preds[out_idx]
-        return forward
+                                     alphas, betas, ratios, train=False)
+            hists = []
+            for p in preds:
+                pred = jnp.argmax(p, axis=-1).astype(jnp.int32)
+                from ..eval.metrics import confusion_hist
+                hists.append(confusion_hist(pred, labels,
+                                            self.config.num_classes))
+            return jnp.stack(hists)
+
+        self._jits[key] = jax.jit(program)
+        return self._jits[key]
 
     def validate(self, val_dataset, arch_idx: int, prun_mode=None,
                  max_items: Optional[int] = None) -> List[float]:
         """mIoU of all five heads (train_search.py:260-271)."""
+        from ..data.preprocess import eval_preprocess
+        from ..eval.metrics import compute_score
+
         variables = {"params": self.state.params,
                      "batch_stats": self.state.batch_stats}
-        mious = []
-        for out_idx in range(5):
-            ev = Evaluator(val_dataset, self.config.num_classes,
-                           self.config.data.image_mean,
-                           self.config.data.image_std,
-                           self.eval_forward_fn(arch_idx, out_idx,
-                                                prun_mode),
-                           eval_scales=self.config.eval.eval_scale_array,
-                           eval_flip=self.config.eval.eval_flip)
-            mious.append(ev.run(variables, max_items=max_items).mean_iu)
-        return mious
+        ap = self.arch_params[arch_idx]
+        mode = prun_mode or self.prun_modes[arch_idx]
+        ratios = sample_ratios(jax.random.PRNGKey(0), ap.ratios, mode,
+                               self.nw)
+        program = self._eval_program(arch_idx)
+        n = min(len(val_dataset), max_items or len(val_dataset))
+        hists = np.zeros((5, self.config.num_classes,
+                          self.config.num_classes), np.int64)
+        for i in range(n):
+            s = val_dataset[i]
+            img = eval_preprocess(s["data"], self.config.data.image_mean,
+                                  self.config.data.image_std)
+            h = program(variables, jnp.asarray(img[None]),
+                        jnp.asarray(s["label"][None].astype(np.int32)),
+                        ap.alphas, ap.betas, ratios)
+            hists += np.asarray(h, np.int64)
+        return [compute_score(hists[k])[1] for k in range(5)]
 
     def numpy_arch(self, arch_idx: int) -> ArchParams:
         ap = self.arch_params[arch_idx]
