@@ -58,11 +58,15 @@ def _kernel(p8_ref, mh_ref, mwt_ref, out_ref, *, num_classes: int):
     out_ref[:] = best_i
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "tile_h"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_hw", "tile_h", "interpret"))
 def upsample8_argmax(p8: jax.Array, out_hw: Tuple[int, int] = None,
-                     tile_h: int = 64) -> jax.Array:
+                     tile_h: int = 64, interpret: bool = None) -> jax.Array:
     """p8: (1, H8, W8, C) logits -> (1, H, W) int32 class map where
-    (H, W) = out_hw (default 8x the input)."""
+    (H, W) = out_hw (default 8x the input). `interpret` runs the Pallas
+    interpreter (auto-enabled off-TPU, e.g. the CPU test mesh)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     assert p8.shape[0] == 1, "batch-1 serving kernel"
     h8, w8, c = p8.shape[1], p8.shape[2], p8.shape[3]
     if out_hw is None:
@@ -89,6 +93,7 @@ def upsample8_argmax(p8: jax.Array, out_hw: Tuple[int, int] = None,
         ],
         out_specs=pl.BlockSpec((tile_h, W), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(pcf, mh, mwt)
     return out[None]
 

@@ -1,0 +1,73 @@
+"""SPMD tests on the virtual 8-device CPU mesh: sharded metrics reduce
+exactly, and spatially-sharded inference (H-partitioned convs with halo
+exchange) matches the single-device result."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fasterseg_tpu.eval.metrics import confusion_hist
+from fasterseg_tpu.parallel import (
+    DATA_AXIS,
+    SPATIAL_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+    spatial_sharding,
+)
+
+
+def test_mesh_and_helpers():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape == (8,)
+    x = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    xs = shard_batch(x, mesh)
+    assert len(xs.sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(xs), x)
+    r = replicate({"a": np.ones(3)}, mesh)
+    assert len(r["a"].sharding.device_set) == 8
+
+
+def test_sharded_confusion_hist_matches():
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(0)
+    pred = rng.integers(0, 5, (16, 8, 8)).astype(np.int32)
+    label = rng.integers(0, 5, (16, 8, 8)).astype(np.int32)
+    label[rng.random(label.shape) < 0.1] = 255
+
+    fn = jax.jit(lambda p, l: confusion_hist(p, l, 5),
+                 in_shardings=(batch_sharding(mesh), batch_sharding(mesh)),
+                 out_shardings=NamedSharding(mesh, P()))
+    got = np.asarray(fn(jnp.asarray(pred), jnp.asarray(label)))
+    want = np.asarray(confusion_hist(jnp.asarray(pred), jnp.asarray(label), 5))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.slow
+def test_spatial_sharded_inference_matches():
+    """H-partitioned full-res inference — the CNN analog of context
+    parallelism (SURVEY.md §5.7). XLA inserts conv halo exchanges; the
+    result must be bit-comparable to single-device execution."""
+    from fasterseg_tpu.models import create_derived, student_plan
+
+    mesh = make_mesh(8, axis_names=(SPATIAL_AXIS,))
+    plan = student_plan()
+    model, variables = create_derived(plan, jax.random.PRNGKey(0),
+                                      input_hw=(512, 128))
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 512, 128, 3))
+
+    def fwd(v, x):
+        return model.apply(v, x, train=False)
+
+    ref = np.asarray(jax.jit(fwd)(variables, x))
+    sharded = jax.jit(
+        fwd,
+        in_shardings=(NamedSharding(mesh, P()), spatial_sharding(mesh)),
+        out_shardings=NamedSharding(mesh, P()))(
+            jax.device_put(variables, NamedSharding(mesh, P())),
+            jax.device_put(x, spatial_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(sharded), ref, rtol=2e-4,
+                               atol=2e-4)
