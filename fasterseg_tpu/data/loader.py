@@ -83,12 +83,16 @@ class TrainLoader:
 
 
 def get_train_loader(config, dataset_cls, portion: Optional[float] = None,
-                     seed: Optional[int] = None, test: bool = False):
+                     seed: Optional[int] = None, test: bool = False,
+                     index_select=None):
     """Reference-shaped constructor (search/dataloader.py:34-57,
     train/dataloader.py:34-47): builds dataset + TrainPre + loader.
 
     `config` is a core.config SearchConfig/TrainConfig; `portion` carves
-    the head (+) or tail (-) fraction of the file list."""
+    the head (+) or tail (-) fraction of the file list; `index_select`
+    reorders it first — the search driver passes one shared shuffled
+    permutation so the +-portion halves form a balanced disjoint split
+    (train_search.py:109-112)."""
     from .datasets import DataSetting, SyntheticDataset
     import os
 
@@ -111,7 +115,8 @@ def get_train_loader(config, dataset_cls, portion: Optional[float] = None,
             eval_source=os.path.join(d.dataset_path, d.eval_source),
             test_source=os.path.join(d.dataset_path, d.test_source),
             down_sampling=d.down_sampling)
-        dataset = dataset_cls(setting, "train", portion=portion)
+        dataset = dataset_cls(setting, "train", portion=portion,
+                              index_select=index_select)
     return TrainLoader(dataset, pre, d.batch_size,
                        seed=seed if seed is not None else getattr(
                            config, "seed", 0))

@@ -106,33 +106,50 @@ class Evaluator:
                     _resize(im, (sw, sh), nearest=False) if scale != 1.0 else im,
                     self.image_mean, self.image_std)
                 for im in imgs])
-            p = np.asarray(self._probs_fn((sh, sw))(variables,
-                                                    jnp.asarray(batch)))
+            batch = jnp.asarray(batch)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                batch = jax.device_put(batch, NamedSharding(
+                    self.mesh, PartitionSpec(self.mesh.axis_names[0])))
+            p = np.asarray(self._probs_fn((sh, sw))(variables, batch))
             if scale != 1.0:
                 p = np.stack([_resize(pi, (W, H), nearest=False) for pi in p])
             acc += p
         return np.argmax(acc, axis=-1).astype(np.int32)
 
     def run(self, variables, max_items: Optional[int] = None) -> EvalResult:
+        """Whole-image eval over the dataset. With a mesh, each batch is
+        sharded across devices (padding the tail with repeats) and the
+        confusion matrix reduces on-device — the TPU-native replacement
+        for the reference's 3-process eval queue (evaluator.py:128-157)."""
         n_total = min(len(self.dataset), max_items or len(self.dataset))
+        batch = self.batch_size
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            batch = max(batch, n_dev) // n_dev * n_dev
+            from jax.sharding import NamedSharding, PartitionSpec
+            variables = jax.device_put(
+                variables, NamedSharding(self.mesh, PartitionSpec()))
         hist = np.zeros((self.num_classes, self.num_classes), np.int64)
         correct = labeled = 0
         hist_fn = self._hist_fn()
         i = 0
         while i < n_total:
-            idxs = range(i, min(i + self.batch_size, n_total))
+            idxs = list(range(i, min(i + batch, n_total)))
+            n_real = len(idxs)
+            while len(idxs) < batch:  # pad tail by repeating (masked below)
+                idxs.append(idxs[-1])
             samples = [self.dataset[k] for k in idxs]
             imgs = np.stack([s["data"] for s in samples])
-            labels = np.stack([s["label"] for s in samples])
+            labels = np.stack([s["label"] for s in samples]).astype(np.int32)
+            labels[n_real:] = self.ignore_label  # padded items count nothing
             pred = self._predict_whole(variables, imgs)
             h = np.asarray(hist_fn(jnp.asarray(pred), jnp.asarray(labels)))
             hist += h.astype(np.int64)
             valid = (labels != self.ignore_label) & (labels < self.num_classes)
             labeled += int(valid.sum())
-            correct += int(((pred == labels) & valid).sum())
-            i += self.batch_size
-        if self.mesh is not None and jax.process_count() > 1:
-            pass  # single-process image; cross-host reduction not needed here
+            correct += int(((np.asarray(pred) == labels) & valid).sum())
+            i += batch
         iou, mean_iu, _, _ = compute_score(hist, correct, labeled)
         return EvalResult(mean_iu=mean_iu, iou_per_class=np.asarray(iou),
                           pixel_acc=correct / max(labeled, 1), hist=hist)

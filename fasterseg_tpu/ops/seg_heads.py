@@ -68,6 +68,91 @@ class SELayer(nn.Module):
         return y[:, None, None, :]
 
 
+class SeparableConvBnRelu(nn.Module):
+    """Depthwise + pointwise conv (seg_oprs.py:42-60) — API parity."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    pad: int = 0
+    dilation: int = 1
+    has_relu: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c_in = x.shape[-1]
+        x = Conv(c_in, self.kernel_size, self.stride, self.dilation,
+                 groups=c_in, padding=self.pad, dtype=self.dtype,
+                 name="depthwise")(x)
+        from .conv import BatchNorm
+        x = BatchNorm(dtype=self.dtype)(x, train)
+        return ConvBnRelu(self.features, 1, 1, 0, has_relu=self.has_relu,
+                          dtype=self.dtype, name="pointwise")(x, train)
+
+
+class ChannelAttention(nn.Module):
+    """DFN channel attention over two concatenated streams
+    (seg_oprs.py:96-106) — API parity."""
+
+    out_planes: int
+    reduction: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x1, x2):
+        fm = jnp.concatenate([x1, x2], axis=-1)
+        att = SELayer(self.out_planes, self.reduction, dtype=self.dtype)(fm)
+        return x1 * att + x2
+
+
+class BNRefine(nn.Module):
+    """Residual conv refine block (seg_oprs.py:109-128) — API parity."""
+
+    features: int
+    kernel_size: int = 3
+    has_relu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        t = ConvBnRelu(self.features, self.kernel_size, 1,
+                       self.kernel_size // 2, dtype=self.dtype,
+                       name="conv_bn_relu")(x, train)
+        t = Conv(self.features, self.kernel_size, 1,
+                 padding=self.kernel_size // 2, use_bias=False,
+                 dtype=self.dtype, name="conv_refine")(t)
+        out = t + x
+        return nn.relu(out) if self.has_relu else out
+
+
+class RefineResidual(nn.Module):
+    """1x1 project + residual refine (seg_oprs.py:131-154) — API parity."""
+
+    features: int
+    kernel_size: int = 3
+    has_relu: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.features, 1, 1, padding=0, dtype=self.dtype,
+                 name="conv_1x1")(x)
+        t = ConvBnRelu(self.features, self.kernel_size, 1,
+                       self.kernel_size // 2, dtype=self.dtype,
+                       name="cbr")(x, train)
+        t = Conv(self.features, self.kernel_size, 1,
+                 padding=self.kernel_size // 2, use_bias=False,
+                 dtype=self.dtype, name="conv_refine")(t)
+        out = t + x
+        return nn.relu(out) if self.has_relu else out
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """GlobalAvgPool2d (seg_oprs.py:63-73): NHWC -> (N,1,1,C)."""
+    return jnp.mean(x, axis=(-3, -2), keepdims=True)
+
+
 class AttentionRefinement(nn.Module):
     """BiSeNet ARM (seg_oprs.py:158-178) — kept for API parity."""
 

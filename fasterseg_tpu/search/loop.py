@@ -342,10 +342,19 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
     update_arch = not pretrain
     engine = SearchEngine(config, lut=lut)
 
-    loader_model = get_train_loader(config, None,
-                                    portion=config.train_portion)
-    loader_arch = get_train_loader(config, None,
-                                   portion=config.train_portion - 1)
+    # one shared shuffled permutation -> balanced disjoint weight/arch
+    # halves (train_search.py:109-112)
+    perm = None
+    if not config.data.synthetic:
+        perm = list(np.random.default_rng(config.seed).permutation(
+            config.data.num_train_imgs))
+    from ..data import Cityscapes
+    loader_model = get_train_loader(config, Cityscapes,
+                                    portion=config.train_portion,
+                                    index_select=perm)
+    loader_arch = get_train_loader(config, Cityscapes,
+                                   portion=config.train_portion - 1,
+                                   index_select=perm)
     if val_dataset is None:
         val_dataset = SyntheticDataset(
             length=max_eval_items,
