@@ -56,15 +56,23 @@ class DerivedNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stem_out=None,
+                 upsample: bool = True):
+        """`stem_out` (optional): externally computed stem features —
+        the fused Pallas fast-stem path (models/infer.py) injects them
+        here, bypassing the in-graph stem. `upsample=False` returns
+        eval logits at 1/8 resolution for the fused serving head."""
         plan = self.plan
         B = plan.num_branch
         hw = plan.head_width()
         nf = lambda s, w=1.0: num_filters(s, plan.Fch, w)
 
-        x = x.astype(self.dtype)
-        stem = Stem(plan.Fch, plan.stem_head_width[0], dtype=self.dtype,
-                    name="stem")(x, train)
+        if stem_out is None:
+            x = x.astype(self.dtype)
+            stem = Stem(plan.Fch, plan.stem_head_width[0], dtype=self.dtype,
+                        name="stem")(x, train)
+        else:
+            stem = stem_out.astype(self.dtype)
 
         # latest feature per branch, plus last-seen feature at each scale
         outputs = [stem] * B
@@ -151,6 +159,8 @@ class DerivedNet(nn.Module):
             return p8, p16, p32
 
         # eval: x8 align-corners upsample in compute dtype; callers cast
+        if not upsample:
+            return p8
         return scale_by(p8, 8)
 
 

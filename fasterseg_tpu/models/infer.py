@@ -1,0 +1,84 @@
+"""Optimized batch-1 inference: fused Pallas stem + XLA body.
+
+The serving replacement for the reference's TensorRT engine
+(SURVEY.md §2.5): eval-mode forward with the stem — ~70% of end-to-end
+latency under this backend's XLA conv lowering — executed by the fused
+channel-planar Pallas conv kernels (pallas/conv.py), the decoded cell
+body/aggregation by XLA, and the fused upsample+argmax serving head
+(pallas/fused.py) for class-map output.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core.plan import NetworkPlan
+from ..pallas.conv import (conv3x3_bn_relu_planar, fold_bn, nhwc_to_planar,
+                           planar_to_nhwc)
+from ..pallas.fused import upsample8_argmax
+from .derived import DerivedNet
+
+
+def _conv_bn(block_p, block_s, conv_name, bn_name):
+    k = block_p[conv_name]["conv"]["kernel"]
+    bn = block_p[bn_name]["bn"]
+    st = block_s[bn_name]["bn"]
+    scale, bias = fold_bn(bn["scale"], bn["bias"], st["mean"], st["var"])
+    return k, scale, bias
+
+
+def fast_stem(stem_params, stem_stats, x: jax.Array,
+              dtype=jnp.bfloat16) -> jax.Array:
+    """Run the 5 stem convs (ConvNorm + 2x BasicResidual2x,
+    derived.Stem) via the fused planar kernels. x: (1, H, W, 3) ->
+    (1, H/8, W/8, C_stem) NHWC."""
+    y = nhwc_to_planar(x.astype(dtype))
+    k, s, b = _conv_bn(stem_params["stage0"], stem_stats["stage0"],
+                       "Conv_0", "BatchNorm_0")
+    y = conv3x3_bn_relu_planar(y, k.astype(dtype), s, b, stride=2)
+    for stage in ("stage1", "stage2"):
+        k, s, b = _conv_bn(stem_params[stage], stem_stats[stage],
+                           "Conv_0", "BatchNorm_0")
+        y = conv3x3_bn_relu_planar(y, k.astype(dtype), s, b, stride=2)
+        k, s, b = _conv_bn(stem_params[stage], stem_stats[stage],
+                           "Conv_1", "BatchNorm_1")
+        y = conv3x3_bn_relu_planar(y, k.astype(dtype), s, b, stride=1)
+    c_out = stem_params["stage2"]["Conv_1"]["conv"]["kernel"].shape[-1]
+    return planar_to_nhwc(y, c_out)
+
+
+class InferenceRunner:
+    """Jitted eval-mode forwards of a derived network with the fast stem.
+
+    .logits(v, x)   -> full-resolution class logits (reference contract)
+    .classmap(v, x) -> full-resolution int32 class map via the fused
+                       upsample+argmax head (never materializes full-res
+                       logits in HBM)
+    """
+
+    def __init__(self, plan: NetworkPlan, variables, dtype=jnp.bfloat16,
+                 fast_stem_enabled: bool = True):
+        self.plan = plan
+        self.model = DerivedNet(plan=plan, dtype=dtype)
+        self.variables = variables
+        self.dtype = dtype
+        self.fast_stem_enabled = fast_stem_enabled
+
+        def _stem(v, x):
+            if not self.fast_stem_enabled:
+                return None
+            return fast_stem(v["params"]["stem"], v["batch_stats"]["stem"],
+                             x, dtype)
+
+        def logits_fn(v, x):
+            return self.model.apply(v, x.astype(dtype), train=False,
+                                    stem_out=_stem(v, x))
+
+        def classmap_fn(v, x):
+            p8 = self.model.apply(v, x.astype(dtype), train=False,
+                                  stem_out=_stem(v, x), upsample=False)
+            return upsample8_argmax(p8, out_hw=(x.shape[1], x.shape[2]))
+
+        self.logits = jax.jit(logits_fn)
+        self.classmap = jax.jit(classmap_fn)

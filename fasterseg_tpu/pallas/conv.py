@@ -1,0 +1,166 @@
+"""Fused 3x3 conv + folded-BN + ReLU Pallas kernels for batch-1 inference.
+
+Motivation: this backend's XLA conv lowering runs the large-spatial,
+narrow-channel stem convolutions ~10x off the HBM roofline at batch 1
+(measured: 3->32/s2 @1024x2048 ~1.8 ms against ~0.05 ms of traffic). The
+stem is ~70% of end-to-end student latency, so these are the
+speed-of-light kernels BASELINE.md calls for.
+
+Design — dictated by Mosaic tiling rules (bf16 sublane tile 16, no
+narrow lane concats, no bf16 lane rotates):
+* Activations are **channel-planar**: (H, C, W) with C on sublanes
+  (padded to the sublane tile) and W on lanes. Kernels chain in this
+  layout; only the stem entry/exit transpose to/from NHWC.
+* The three column taps are prepared as **pre-shifted planes** in XLA
+  (strided slices of the padded input), so every in-kernel access is an
+  offset-0 static slice — no gathers, rotates, or misaligned layouts.
+* Each grid step DMAs an overlapping row window (halo) of each plane from
+  HBM into VMEM scratch; per output row the 9 taps stack on sublanes into
+  a (9*C_in, W_out) patch and ONE MXU matmul (C_out, 9*C_in) @ patch
+  produces the row. Folded BN scale/bias + ReLU run in the epilogue; the
+  conv->BN->ReLU chain never round-trips HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUBLANE = 16  # bf16 sublane tile
+
+
+def fold_bn(gamma, beta, mean, var, eps: float = 1e-5):
+    """BN(eval) as y = x*scale + bias."""
+    scale = gamma * jax.lax.rsqrt(var + eps)
+    return scale, beta - mean * scale
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _kernel(p0_hbm, p1_hbm, p2_hbm, wmat_ref, sb_ref, out_ref,
+            t0, t1, t2, s0, s1, s2, *, tr: int, rstride: int, wo: int,
+            relu: bool):
+    i = pl.program_id(0)
+    rows = rstride * tr + (3 - rstride)
+    copies = [
+        pltpu.make_async_copy(h.at[pl.ds(i * rstride * tr, rows)], t, s)
+        for h, t, s in ((p0_hbm, t0, s0), (p1_hbm, t1, s1),
+                        (p2_hbm, t2, s2))]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+    wmat = wmat_ref[:]
+    scale = sb_ref[:, 0:1]
+    bias = sb_ref[:, 1:2]
+    for r in range(tr):
+        parts = []
+        for dy in range(3):
+            row = rstride * r + dy
+            parts += [t0[row], t1[row], t2[row]]    # each (cip, wo)
+        p = jnp.concatenate(parts, axis=0)          # (9*cip, wo)
+        acc = jnp.dot(wmat, p, preferred_element_type=jnp.float32)
+        y = acc * scale + bias
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        out_ref[r] = y.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("stride", "relu", "tile_rows",
+                                    "interpret"))
+def conv3x3_bn_relu_planar(x: jax.Array, w: jax.Array, scale: jax.Array,
+                           bias: jax.Array, stride: int = 1,
+                           relu: bool = True,
+                           tile_rows: Optional[int] = None,
+                           interpret: Optional[bool] = None) -> jax.Array:
+    """x: (H, C_in_padded, W) channel-planar; w: (3, 3, Ci, Co) HWIO;
+    scale/bias: (Co,) folded BN. Returns (H/s, Co_padded, W/s) planar,
+    pad=1 conv semantics. Ci may be smaller than x's padded channel dim
+    as long as the padding lanes are zero."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    H, cip, W = x.shape
+    ci, co = w.shape[2], w.shape[3]
+    cop = _round_up(co, SUBLANE)
+    ho, wo = H // stride, W // stride
+    if tile_rows is None:
+        tile_rows = 16 if ho % 16 == 0 else 8
+    while ho % tile_rows:
+        tile_rows -= 1
+
+    # weight matrix (cop, 9*cip): rows = out channel, col blocks (dy, dx)
+    wp = jnp.zeros((3, 3, cip, cop), w.dtype).at[:, :, :ci, :co].set(w)
+    wmat = wp.transpose(3, 0, 1, 2).reshape(cop, 9 * cip).astype(x.dtype)
+    sb = jnp.zeros((cop, 2), jnp.float32)
+    sb = sb.at[:co, 0].set(scale.astype(jnp.float32))
+    sb = sb.at[:co, 1].set(bias.astype(jnp.float32))
+
+    xp = jnp.pad(x, ((1, 1), (0, 0), (1, 1)))
+    # pre-shifted column-tap planes, each (H+2, cip, wo)
+    if stride == 2:
+        planes = [xp[:, :, 0::2][:, :, :wo], xp[:, :, 1::2][:, :, :wo],
+                  xp[:, :, 2::2][:, :, :wo]]
+    else:
+        planes = [xp[:, :, dx:dx + wo] for dx in range(3)]
+
+    rows = stride * tile_rows + (3 - stride)
+    out = pl.pallas_call(
+        functools.partial(_kernel, tr=tile_rows, rstride=stride, wo=wo,
+                          relu=relu),
+        out_shape=jax.ShapeDtypeStruct((ho, cop, wo), x.dtype),
+        grid=(ho // tile_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3 + [
+            pl.BlockSpec((cop, 9 * cip), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cop, 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, cop, wo), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, cip, wo), x.dtype),
+            pltpu.VMEM((rows, cip, wo), x.dtype),
+            pltpu.VMEM((rows, cip, wo), x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(*planes, wmat, sb)
+    return out
+
+
+def nhwc_to_planar(x: jax.Array, c_pad: Optional[int] = None) -> jax.Array:
+    """(1, H, W, C) -> (H, C_padded, W)."""
+    _, H, W, c = x.shape
+    cp = _round_up(c_pad or c, SUBLANE)
+    y = jnp.transpose(x[0], (0, 2, 1))           # (H, C, W)
+    return jnp.pad(y, ((0, 0), (0, cp - c), (0, 0)))
+
+
+def planar_to_nhwc(x: jax.Array, c: int) -> jax.Array:
+    """(H, C_padded, W) -> (1, H, W, C)."""
+    return jnp.transpose(x[:, :c, :], (0, 2, 1))[None]
+
+
+def conv3x3_bn_relu_reference(x, w, scale, bias, stride=1, relu=True):
+    """XLA reference implementation (same math) for parity tests.
+    NHWC in/out."""
+    from jax import lax
+    dn = lax.conv_dimension_numbers(x.shape, w.shape,
+                                    ("NHWC", "HWIO", "NHWC"))
+    y = lax.conv_general_dilated(x, w.astype(x.dtype), (stride, stride),
+                                 [(1, 1), (1, 1)], dimension_numbers=dn,
+                                 preferred_element_type=jnp.float32)
+    y = y * scale + bias
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(x.dtype)
