@@ -51,6 +51,8 @@ def main(argv=None):
     if args.batch_size:
         data = dataclasses.replace(data, batch_size=args.batch_size)
     overrides = dict(data=data)
+    if args.load:
+        overrides["load_path"] = args.load
     if args.layers:
         overrides["layers"] = args.layers
     if args.Fch:

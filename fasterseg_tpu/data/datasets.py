@@ -51,9 +51,14 @@ CITYSCAPES_COLORS = (
     (0, 0, 230), (119, 11, 32))
 
 BDD_CLASSES = CITYSCAPES_CLASSES  # BDD uses the 19-class Cityscapes schema
+# CamVid 11-class schema (tools/datasets/camvid/camvid.py)
 CAMVID_CLASSES = (
-    "sky", "building", "pole", "road", "sidewalk", "tree", "symbol",
-    "fence", "car", "pedestrian", "bicyclist")
+    "Building", "Tree", "Sky", "Car", "Sign-Symbol", "Road",
+    "Pedestrian", "Fence", "Column-Pole", "Side-Walk", "Bicyclist")
+CAMVID_COLORS = (
+    (128, 0, 0), (128, 128, 0), (128, 128, 128), (64, 0, 128),
+    (192, 128, 128), (128, 64, 128), (64, 64, 0), (64, 64, 128),
+    (192, 192, 128), (0, 0, 192), (0, 128, 192))
 
 
 @dataclasses.dataclass
@@ -172,6 +177,7 @@ class BDD(FileListDataset):
 class CamVid(FileListDataset):
     num_classes = 11
     class_names = CAMVID_CLASSES
+    colors = CAMVID_COLORS
     ignore_label = 11
 
 

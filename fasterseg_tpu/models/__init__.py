@@ -1,4 +1,6 @@
 from .derived import DerivedNet, Stem, create_derived
+from .supernet import Supernet, ArchParamsPytree, SlimMixedOp, SlimCell, init_supernet
+from .infer import InferenceRunner, fast_stem
 
 
 def student_plan(assets_dir: str = None, arch_npz: str = None):

@@ -318,6 +318,18 @@ class SearchEngine:
 
     # ---------------- persistence ----------------
 
+    def load_weights(self, ckpt_dir: str):
+        """Partial-match transfer of pretrained supernet weights
+        (train_search.py:70-75: filter by key & shape)."""
+        from ..utils.checkpoint import load_pytree, partial_load
+        path = os.path.join(ckpt_dir, "weights_ckpt")
+        loaded = load_pytree(path if os.path.exists(path) else ckpt_dir)
+        self.state = self.state.replace(
+            params=partial_load(self.state.params,
+                                loaded.get("params", {})),
+            batch_stats=partial_load(self.state.batch_stats,
+                                     loaded.get("batch_stats", {})))
+
     def save(self, save_dir: str, epoch: int, metrics: Optional[dict] = None):
         os.makedirs(save_dir, exist_ok=True)
         save_pytree(os.path.join(save_dir, f"weights_ckpt"),
@@ -335,12 +347,22 @@ class SearchEngine:
 
 def run_search(config: SearchConfig, val_dataset=None, epochs=None,
                niters=None, save_dir=None, max_eval_items=8,
-               lut: Optional[LatencyLUT] = None) -> SearchEngine:
+               lut: Optional[LatencyLUT] = None,
+               plot_genotypes: bool = False) -> SearchEngine:
     """Full driver (train_search.py:36-212): pretrain when config.pretrain
-    is True, otherwise bi-level search with latency control."""
+    is True, otherwise bi-level search with latency control. Scalars go
+    to save_dir/metrics.jsonl (+ TensorBoard when available); with
+    plot_genotypes, per-epoch genotype figures are rendered like the
+    reference's arch_logging (train_search.py:274-303)."""
     pretrain = bool(config.pretrain)
     update_arch = not pretrain
     engine = SearchEngine(config, lut=lut)
+    if not pretrain and config.load_path:
+        engine.load_weights(config.load_path)
+    writer = None
+    if save_dir:
+        from ..utils.logging import MetricWriter
+        writer = MetricWriter(save_dir)
 
     # one shared shuffled permutation -> balanced disjoint weight/arch
     # halves (train_search.py:109-112)
@@ -361,11 +383,15 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
             hw=(config.eval.eval_height, config.eval.eval_width),
             num_classes=config.num_classes)
 
+    valid_names = ("8s", "16s", "32s", "8s_32s", "16s_32s")
     epochs = epochs or config.nepochs
     for epoch in range(epochs):
         stats = engine.train_epoch(loader_model, loader_arch, epoch,
                                    pretrain, update_arch, niters=niters)
         logger.info("epoch %d: %s", epoch, stats)
+        if writer:
+            for k, v in stats.items():
+                writer.add_scalar(f"train/{k}", v, epoch)
 
         metrics = {}
         if pretrain:
@@ -374,8 +400,14 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
                                         max_items=max_eval_items)
                 logger.info("epoch %d pretrain val[%s]: %s", epoch, mode,
                             ["%.3f" % m for m in mious])
+                if writer:
+                    for i, m in enumerate(mious):
+                        writer.add_scalar(
+                            f"mIoU/val_{mode}_{valid_names[i]}", m, epoch)
         else:
+            from ..core.plan import objective_acc_lat
             for idx in range(len(engine.arch_params)):
+                name = "teacher" if idx == 0 else "student"
                 mious = engine.validate(val_dataset, idx,
                                         max_items=max_eval_items)
                 fps0, fps1 = engine.arch_fps(idx)
@@ -386,6 +418,37 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
                 logger.info("epoch %d arch %d val: %s fps=(%.1f, %.1f) "
                             "lat_w=%g", epoch, idx,
                             ["%.3f" % m for m in mious], fps0, fps1, w)
+                if writer:
+                    for i, m in enumerate(mious):
+                        writer.add_scalar(
+                            f"mIoU/val_{name}_{valid_names[i]}", m, epoch)
+                    writer.add_scalar(f"arch/fps0_{name}", fps0, epoch)
+                    writer.add_scalar(f"arch/fps1_{name}", fps1, epoch)
+                    writer.add_scalar(f"arch/latency_weight_{name}", w,
+                                      epoch + 1)
+                    writer.add_scalar(
+                        f"objective/val_{name}_8s_32s",
+                        objective_acc_lat(mious[3], 1000.0 / fps0), epoch)
+                    writer.add_scalar(
+                        f"objective/val_{name}_16s_32s",
+                        objective_acc_lat(mious[4], 1000.0 / fps1), epoch)
+                if writer and plot_genotypes:
+                    from ..core.genotype import decode_network
+                    from ..utils.plotting import plot_op, plot_path_width
+                    genos = decode_network(engine.numpy_arch(idx),
+                                           engine.wml, config.layers)
+                    for last, g in genos.items():
+                        writer.add_figure(
+                            f"arch/ops{last}_{name}",
+                            plot_op(g.ops, g.path, g.widths, F_base=config.Fch),
+                            epoch)
+                    writer.add_figure(
+                        f"arch/path_width_{name}",
+                        plot_path_width(
+                            [2, 1, 0],
+                            [genos[2].path, genos[1].path, genos[0].path],
+                            [genos[2].widths, genos[1].widths,
+                             genos[0].widths]), epoch)
         if save_dir:
             engine.save(save_dir, epoch, metrics)
     loader_model.close()

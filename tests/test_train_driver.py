@@ -1,0 +1,69 @@
+"""Teacher/student training driver on synthetic data (tiny shapes)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from fasterseg_tpu.core.config import (DataConfig, EvalConfig,
+                                       cityscapes_student_config,
+                                       cityscapes_teacher_config)
+from fasterseg_tpu.data import SyntheticDataset
+
+
+ASSETS = os.path.join(os.path.dirname(__file__), "assets")
+
+
+def _small(cfg):
+    data = DataConfig(synthetic=True, synthetic_length=4,
+                      image_height=64, image_width=128, batch_size=2)
+    return dataclasses.replace(cfg, data=data,
+                               eval=EvalConfig(eval_height=64,
+                                               eval_width=128),
+                               niters_per_epoch=2)
+
+
+@pytest.mark.slow
+def test_teacher_then_student_training(tmp_path):
+    from fasterseg_tpu.train import TrainSession, run_train
+
+    # teacher: OHEM-only training
+    tcfg = _small(cityscapes_teacher_config())
+    val = SyntheticDataset(length=2, hw=(64, 128))
+    t_session = run_train(tcfg, ASSETS, val_dataset=None, epochs=1,
+                          niters=2, save_dir=str(tmp_path / "teacher"))
+    assert t_session.student_idx == 0
+    assert int(t_session.state.step) == 2
+    t_ckpt = str(tmp_path / "teacher" / "weights0_ckpt")
+    assert os.path.exists(t_ckpt)
+
+    # student: distillation from the saved teacher
+    scfg = _small(cityscapes_student_config())
+    s_session = run_train(scfg, ASSETS, val_dataset=None, epochs=1,
+                          niters=2, save_dir=str(tmp_path / "student"),
+                          teacher_ckpt=t_ckpt)
+    assert s_session.is_student and s_session.student_idx == 1
+    assert int(s_session.state.step) == 2
+    res = s_session.evaluate(val, max_items=1)
+    assert 0.0 <= res.mean_iu <= 1.0
+
+
+@pytest.mark.slow
+def test_eval_only_and_submission_writer(tmp_path):
+    from fasterseg_tpu.train import TrainSession, write_test_predictions
+
+    cfg = _small(cityscapes_teacher_config())
+    session = TrainSession(cfg, ASSETS)
+    ds = SyntheticDataset(length=2, hw=(64, 128))
+    res = session.evaluate(ds, max_items=2)
+    assert res.hist.sum() > 0
+    out = str(tmp_path / "sub")
+    write_test_predictions(session, ds, out, max_items=1)
+    import cv2
+    files = os.listdir(out)
+    assert len(files) == 1
+    png = cv2.imread(os.path.join(out, files[0]), cv2.IMREAD_GRAYSCALE)
+    assert png.shape == (64, 128)
+    # labelId range after trainId remap (train/test.py:25-46)
+    assert png.min() >= 7 and png.max() <= 33
