@@ -47,16 +47,34 @@ def _round_up(x, m):
 def _kernel(p0_hbm, p1_hbm, p2_hbm, wmat_ref, sb_ref, out_ref,
             t0, t1, t2, s0, s1, s2, *, tr: int, rstride: int, wo: int,
             relu: bool):
+    """Double-buffered: each tile's 3 plane windows are prefetched during
+    the previous tile's matmuls (slot = i % 2)."""
     i = pl.program_id(0)
+    n = pl.num_programs(0)
     rows = rstride * tr + (3 - rstride)
-    copies = [
-        pltpu.make_async_copy(h.at[pl.ds(i * rstride * tr, rows)], t, s)
-        for h, t, s in ((p0_hbm, t0, s0), (p1_hbm, t1, s1),
-                        (p2_hbm, t2, s2))]
-    for c in copies:
-        c.start()
-    for c in copies:
+
+    def dma(idx, slot):
+        return [
+            pltpu.make_async_copy(
+                h.at[pl.ds(idx * rstride * tr, rows)], t.at[slot],
+                s.at[slot])
+            for h, t, s in ((p0_hbm, t0, s0), (p1_hbm, t1, s1),
+                            (p2_hbm, t2, s2))]
+
+    @pl.when(i == 0)
+    def _():
+        for c in dma(0, 0):
+            c.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for c in dma(i + 1, (i + 1) % 2):
+            c.start()
+
+    for c in dma(i, i % 2):
         c.wait()
+
+    slot = i % 2
     wmat = wmat_ref[:]
     scale = sb_ref[:, 0:1]
     bias = sb_ref[:, 1:2]
@@ -64,7 +82,7 @@ def _kernel(p0_hbm, p1_hbm, p2_hbm, wmat_ref, sb_ref, out_ref,
         parts = []
         for dy in range(3):
             row = rstride * r + dy
-            parts += [t0[row], t1[row], t2[row]]    # each (cip, wo)
+            parts += [t0[slot, row], t1[slot, row], t2[slot, row]]
         p = jnp.concatenate(parts, axis=0)          # (9*cip, wo)
         acc = jnp.dot(wmat, p, preferred_element_type=jnp.float32)
         y = acc * scale + bias
@@ -126,12 +144,12 @@ def conv3x3_bn_relu_planar(x: jax.Array, w: jax.Array, scale: jax.Array,
         out_specs=pl.BlockSpec((tile_rows, cop, wo), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((rows, cip, wo), x.dtype),
-            pltpu.VMEM((rows, cip, wo), x.dtype),
-            pltpu.VMEM((rows, cip, wo), x.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, rows, cip, wo), x.dtype),
+            pltpu.VMEM((2, rows, cip, wo), x.dtype),
+            pltpu.VMEM((2, rows, cip, wo), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(*planes, wmat, sb)
