@@ -87,8 +87,9 @@ class SearchConfig:
     arch_weight_decay: float = 0.0
     # latency regularization (config_search.py:85-99, architect.py:62-74)
     latency_weight: Tuple[float, ...] = (0.0, 1e-2)
-    fps_min: float = 155.0
-    fps_max: float = 175.0
+    # per-arch FPS band [teacher, student] (config_search.py:85-86)
+    fps_min: Tuple[float, ...] = (0.0, 155.0)
+    fps_max: Tuple[float, ...] = (0.0, 175.0)
     # weighting of alpha/beta/ratio latency terms (architect.py:69-72)
     lat_split: Tuple[float, float, float] = (1.0 / 500, 497.0 / 500, 2.0 / 500)
     train_portion: float = 0.5
