@@ -130,7 +130,10 @@ class Supernet(nn.Module):
     width_mult_list: Tuple[float, ...] = (1.0,)
     stem_head_width: Tuple[Tuple[float, float], ...] = ((1.0, 1.0),)
     dtype: Any = jnp.float32
-    remat: bool = True
+    # remat each cell: trades recompute for HBM across the multi-forward
+    # _loss (SURVEY.md §7 hard part #2); off by default — the search
+    # crops fit comfortably, flip on for large-crop supernet training
+    remat: bool = False
 
     def nf(self, scale: int, width: float = 1.0) -> int:
         return num_filters(scale, self.Fch, width)
@@ -179,7 +182,9 @@ class Supernet(nn.Module):
             out = []
             for j in range(self._scales_at(i)):
                 down_cell = (j < 2) and (i < L - 1)
-                cell = SlimCell(self.nf(8 * 2 ** j), down=down_cell,
+                cell_cls = (nn.remat(SlimCell, static_argnums=(4,))
+                            if self.remat else SlimCell)
+                cell = cell_cls(self.nf(8 * 2 ** j), down=down_cell,
                                 width_mult_list=wml, dtype=self.dtype,
                                 name=f"cell_{i}_{j}")
                 alpha = al[j][i - j]
