@@ -65,14 +65,19 @@ def main(argv=None):
                                       dtype=dtype)
     x = jnp.zeros((1, args.height, args.width, 3), dtype)
 
-    def fwd(x):
-        return model.apply(variables, x, train=False)
+    from ..models.infer import InferenceRunner
+    runner = InferenceRunner(plan, variables, dtype=dtype)
 
-    ms = slope_time_ms(fwd, (x,), n1=2, n2=10)
+    ms = slope_time_ms(lambda x: runner.logits(variables, x), (x,),
+                       n1=2, n2=10)
+    ms_cm = slope_time_ms(lambda x: runner.classmap(variables, x), (x,),
+                          n1=2, n2=10)
     print(json.dumps({
         "lasts": lasts,
-        "measured_ms": round(ms, 3),
-        "measured_fps": round(1000.0 / ms, 1),
+        "logits_ms": round(ms, 3),
+        "logits_fps": round(1000.0 / ms, 1),
+        "classmap_ms": round(ms_cm, 3),
+        "classmap_fps": round(1000.0 / ms_cm, 1),
         "lut_estimate_ms": round(est_ms, 3),
         "lut_estimate_fps": round(1000.0 / est_ms, 1),
         "input": f"{args.height}x{args.width}",
