@@ -61,6 +61,23 @@ CAMVID_COLORS = (
     (192, 192, 128), (0, 0, 192), (0, 128, 192))
 
 
+# Canonical Cityscapes index files shipped as package data (the reference
+# ships the same lists under tools/datasets/cityscapes/; they are the
+# standard sorted enumeration of the public dataset — regenerate from a
+# checkout with scripts/make_file_lists.py).
+LISTS_DIR = os.path.join(os.path.dirname(__file__), "lists")
+
+
+def resolve_source(source: Optional[str]) -> Optional[str]:
+    """Resolve a file-list path: use it if it exists, otherwise fall back
+    to the shipped package list of the same name."""
+    if source and not os.path.isfile(source):
+        cand = os.path.join(LISTS_DIR, os.path.basename(source))
+        if os.path.isfile(cand):
+            return cand
+    return source
+
+
 @dataclasses.dataclass
 class DataSetting:
     img_root: str
@@ -87,7 +104,7 @@ class FileListDataset:
         source = (setting.train_source if split in ("train", "trainval")
                   else setting.eval_source if split == "val"
                   else setting.test_source)
-        self.pairs = self._parse(source)
+        self.pairs = self._parse(resolve_source(source))
         if index_select is not None:
             self.pairs = [self.pairs[i] for i in index_select]
         if portion is not None:

@@ -27,8 +27,8 @@ def stem_latency(lut: LatencyLUT, plan: NetworkPlan,
     H, W = input_hw
     nf = lambda s: num_filters(s, plan.Fch, plan.stem_head_width[0])
     total = lut.get(convnorm_key(H, W, 3, nf(2) * 2, 3, 2))
-    total += lut.get(op_key(3, H // 2, W // 2, nf(2) * 2, nf(4) * 2, 2))
-    total += lut.get(op_key(3, H // 4, W // 4, nf(4) * 2, nf(8), 2))
+    total += lut.get_op(3, H // 2, W // 2, nf(2) * 2, nf(4) * 2, 2)
+    total += lut.get_op(3, H // 4, W // 4, nf(4) * 2, nf(8), 2)
     return float(total)
 
 
@@ -45,8 +45,8 @@ def derived_latency_ms(lut: LatencyLUT, plan: NetworkPlan,
         for group in groups:
             c = specs[(layer, group[0])]
             h, w = H // c.scale, W // c.scale
-            total += lut.get(op_key(c.op, h, w, c.c_in, c.c_out,
-                                    2 if c.down else 1))
+            total += lut.get_op(c.op, h, w, c.c_in, c.c_out,
+                                2 if c.down else 1)
 
     # aggregation (model_seg.py:392-407)
     h8, w8 = H // 8, W // 8

@@ -40,8 +40,14 @@ OP_TRUE_NAMES = (
 
 
 def op_key(op_idx: int, h: int, w: int, c_in: int, c_out: int,
-           stride: int, dilation: int = 1) -> str:
-    name = OP_LUT_NAMES[op_idx]
+           stride: int, dilation: int = 1, true_name: bool = False) -> str:
+    """`true_name=False` keeps the reference quirk of pricing downup_2x
+    under the BasicResidual2x key (operations.py:426-431) — needed to
+    resolve imported reference tables. TPU-measured tables store op 4
+    under its true key so the zoomed double conv (half-res convs + two
+    resizes) gets its own timing; `LatencyLUT.get_op` tries the true key
+    first and falls back to the alias."""
+    name = (OP_TRUE_NAMES if true_name else OP_LUT_NAMES)[op_idx]
     if op_idx == 0:
         return f"{name}_H{h}_W{w}_Cin{c_in}_Cout{c_out}_stride{stride}"
     return (f"{name}_H{h}_W{w}_Cin{c_in}_Cout{c_out}"
@@ -64,10 +70,16 @@ class LatencyLUT:
     """name -> milliseconds, JSON-backed, measure-on-miss."""
 
     def __init__(self, path: Optional[str] = None,
-                 provider: Optional[Callable[[str], float]] = None):
+                 provider: Optional[Callable[[str], float]] = None,
+                 alias_op4: bool = False):
         self.path = path
         self.table: Dict[str, float] = {}
         self.provider = provider
+        # reference-import mode: price downup_2x under the BasicResidual2x
+        # key even though true-name entries exist, replicating the
+        # reference's lookup quirk (operations.py:426-431) so walks over
+        # imported tables reproduce its stored latencies bit-for-bit
+        self.alias_op4 = alias_op4
         if path and os.path.isfile(path):
             with open(path) as f:
                 self.table = json.load(f)
@@ -101,11 +113,25 @@ class LatencyLUT:
     def update(self, entries: Dict[str, float]):
         self.table.update(entries)
 
+    def get_op(self, op_idx: int, h: int, w: int, c_in: int, c_out: int,
+               stride: int, dilation: int = 1) -> float:
+        """Op latency: true-name key first (TPU-measured tables), then the
+        reference alias (imported GPU tables), then measure-on-miss under
+        the true key."""
+        true = op_key(op_idx, h, w, c_in, c_out, stride, dilation,
+                      true_name=True)
+        if true in self.table and not (self.alias_op4 and op_idx == 4):
+            return self.table[true]
+        alias = op_key(op_idx, h, w, c_in, c_out, stride, dilation)
+        if alias in self.table:
+            return self.table[alias]
+        return self.get(true)
+
     @staticmethod
     def from_reference_npy(npy_path: str) -> "LatencyLUT":
         """Load a reference latency_lookup_table.npy (GPU-measured)."""
         import numpy as np
-        lut = LatencyLUT()
+        lut = LatencyLUT(alias_op4=True)
         lut.table = {k: float(v) for k, v in
                      np.load(npy_path, allow_pickle=True).item().items()}
         return lut

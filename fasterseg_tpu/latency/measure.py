@@ -93,3 +93,59 @@ def slope_time_ms(fn: Callable, args: Sequence, n1: int = 4, n2: int = 16,
     t1 = timed(chained(n1))
     t2 = timed(chained(n2))
     return max((t2 - t1) / (n2 - n1) * 1e3, 0.0)
+
+
+def measured_provider(dtype=None, n1: int = 8, n2: int = 72, reps: int = 2,
+                      floor_ms: float = 1e-3, verbose: bool = True):
+    """A LatencyLUT provider that MEASURES on-device: parse the key, build
+    the matching standalone module, slope-time its jitted eval forward.
+
+    The TPU analog of the reference's measure-on-miss
+    (search/operations.py:115-123, which builds a standalone TensorRT
+    engine per missing entry). Long n1/n2 chains amortize the remote
+    tunnel's ~1 ms fetch noise down to sub-0.01 ms resolution.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.conv import ConvNorm
+    from ..ops.primitives import make_op
+    from ..ops.seg_heads import FeatureFusion, Head
+    from .lut import OP_TRUE_NAMES, parse_key
+
+    dtype = dtype or jnp.bfloat16
+    op_index = {n: i for i, n in enumerate(OP_TRUE_NAMES)}
+    op_index["BasicResidual2x"] = 3  # alias keys measure the aliased op
+
+    def provider(name: str) -> float:
+        op, f = parse_key(name)
+        h, w = f["H"], f["W"]
+        if op == "ConvNorm":
+            k = f.get("kernel", 3)
+            module = ConvNorm(f["Cout"], kernel_size=k,
+                              stride=f.get("stride", 1), padding=k // 2,
+                              dtype=dtype)
+            c_in = f["Cin"]
+        elif op == "ff":
+            module, c_in = FeatureFusion(f["C"], dtype=dtype), f["C"]
+        elif op == "head":
+            module, c_in = Head(f["Cout"], dtype=dtype), f["Cin"]
+        elif op in op_index:
+            idx, stride, c_in = op_index[op], f.get("stride", 1), f["Cin"]
+            c_out = f["Cout"]
+            if idx == 0 and stride == 1:
+                c_out = c_in  # identity skip (operations.py:533-534)
+            module = make_op(idx, c_out, stride, dtype=dtype)
+        else:
+            raise KeyError(f"cannot build module for key: {name}")
+        x = jnp.zeros((1, h, w, c_in), dtype)
+        variables = module.init(jax.random.PRNGKey(0), x, train=False)
+
+        def fwd(x):
+            return module.apply(variables, x, train=False)
+
+        ms = max(slope_time_ms(fwd, (x,), n1=n1, n2=n2, reps=reps), floor_ms)
+        if verbose:
+            print(f"  measured {name} = {ms:.4f} ms", flush=True)
+        return ms
+
+    return provider

@@ -57,11 +57,11 @@ def build_supernet_tables(lut: LatencyLUT, layers: int, Fch: int,
                     c_out = make_divisible(c_max * wo)
                     c_down = make_divisible(2 * c_max * wo)
                     for op in range(NUM_OPS):
-                        keep[i, j, op, wi_idx, wo_idx] = lut.get(
-                            op_key(op, h, w, c_in, c_out, 1))
+                        keep[i, j, op, wi_idx, wo_idx] = lut.get_op(
+                            op, h, w, c_in, c_out, 1)
                         if has_down(i, j, layers):
-                            down[i, j, op, wi_idx, wo_idx] = lut.get(
-                                op_key(op, h, w, c_in, c_down, 2))
+                            down[i, j, op, wi_idx, wo_idx] = lut.get_op(
+                                op, h, w, c_in, c_down, 2)
     return {"keep": keep, "down": down}
 
 
@@ -71,6 +71,6 @@ def stem_latency_ms(lut: LatencyLUT, Fch: int, stem_width: float,
     H, W = input_hw
     nf = lambda s: num_filters(s, Fch, stem_width)
     total = lut.get(convnorm_key(H, W, 3, nf(2) * 2, 3, 2))
-    total += lut.get(op_key(3, H // 2, W // 2, nf(2) * 2, nf(4) * 2, 2))
-    total += lut.get(op_key(3, H // 4, W // 4, nf(4) * 2, nf(8), 2))
+    total += lut.get_op(3, H // 2, W // 2, nf(2) * 2, nf(4) * 2, 2)
+    total += lut.get_op(3, H // 4, W // 4, nf(4) * 2, nf(8), 2)
     return float(total)

@@ -1,7 +1,6 @@
 from .gumbel import gumbel_softmax, sample_gumbel, sample_ratios
 from .architect import (
     make_arch_optimizer,
-    make_arch_step,
     latency_terms,
     LatencyWeightController,
 )

@@ -20,7 +20,7 @@ not reproduced.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -63,45 +63,6 @@ def latency_terms(tables, stem_ms_per_arch: Sequence[float], arch_params,
                 use_alpha=False, use_beta=False, **args)
         out[idx] = lat
     return out
-
-
-def make_arch_step(supernet_loss_fn: Callable, tables, stem_ms_per_arch,
-                   layers: int, num_widths: int, prun_modes,
-                   stem_pins, head_pins,
-                   tx: optax.GradientTransformation) -> Callable:
-    """Build the jitted arch step.
-
-    step(arch_params, opt_state, params, batch_stats, imgs, tgts, key,
-         latency_weights) -> (arch_params, opt_state, batch_stats, metrics)
-    """
-
-    def loss_fn(arch_params, params, batch_stats, imgs, tgts, key,
-                latency_weights):
-        k_loss, k_lat = jax.random.split(key)
-        loss, new_stats = supernet_loss_fn(params, batch_stats, imgs, tgts,
-                                           arch_params, k_loss,
-                                           pretrain=False)
-        lat_keys = jax.random.split(k_lat, len(arch_params))
-        lats = latency_terms(tables, stem_ms_per_arch, arch_params,
-                             lat_keys, layers, num_widths, prun_modes,
-                             stem_pins, head_pins)
-        loss_latency = sum(latency_weights[i] * l for i, l in lats.items())
-        supernet_ms = sum(lats.values())
-        return loss + loss_latency, (new_stats, loss, loss_latency,
-                                     supernet_ms)
-
-    def step(arch_params, opt_state, params, batch_stats, imgs, tgts, key,
-             latency_weights):
-        grads, (new_stats, loss, loss_lat, supernet_ms) = jax.grad(
-            loss_fn, has_aux=True)(arch_params, params, batch_stats, imgs,
-                                   tgts, key, latency_weights)
-        updates, opt_state = tx.update(grads, opt_state, arch_params)
-        arch_params = optax.apply_updates(arch_params, updates)
-        metrics = {"loss_arch": loss, "loss_latency": loss_lat,
-                   "latency_supernet_ms": supernet_ms}
-        return arch_params, opt_state, new_stats, metrics
-
-    return step
 
 
 class LatencyWeightController:

@@ -119,3 +119,30 @@ def test_loader_batches_and_portion_split():
     assert labels.shape == (2, 4, 8) and labels.dtype == np.int32
     loader_a.close()
     loader_b.close()
+
+
+def test_shipped_cityscapes_file_lists():
+    """Canonical Cityscapes index lists ship as package data
+    (reference tools/datasets/cityscapes/ parity): train 2975 /
+    val 500 / test 1525 / trainval 3475, resolvable by bare name."""
+    from fasterseg_tpu.data.datasets import (DataSetting, FileListDataset,
+                                             resolve_source)
+
+    counts = {"cityscapes_train_fine.txt": 2975,
+              "cityscapes_val_fine.txt": 500,
+              "cityscapes_test.txt": 1525,
+              "cityscapes_train_val_fine.txt": 3475}
+    for name, n in counts.items():
+        path = resolve_source(f"/nonexistent/root/{name}")
+        assert path and path.endswith(name) and "/lists/" in path
+        pairs = FileListDataset._parse(path)
+        assert len(pairs) == n
+        img, gt = pairs[0]
+        assert img.startswith("leftImg8bit/") and img.endswith(".png")
+        assert gt.startswith("gtFine/")
+
+    setting = DataSetting(img_root="/data", gt_root="/data",
+                          train_source="cityscapes_train_fine.txt",
+                          eval_source="cityscapes_val_fine.txt")
+    ds = FileListDataset(setting, split="val")
+    assert len(ds) == 500
