@@ -30,9 +30,15 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--niters", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--height", type=int, default=None,
+                   help="override train crop height (smoke runs)")
+    p.add_argument("--width", type=int, default=None)
     p.add_argument("--eval", action="store_true", dest="is_eval")
     p.add_argument("--test", action="store_true", dest="is_test")
     p.add_argument("--eval-ckpt", default=None)
+    p.add_argument("--resume", default=None, metavar="RUN_DIR",
+                   help="resume bit-exactly from an existing run dir "
+                        "(weights, optimizer incl. LR position, epoch)")
     args = p.parse_args(argv)
 
     from ..core.config import (cityscapes_student_config,
@@ -50,10 +56,15 @@ def main(argv=None):
         data = dataclasses.replace(data, synthetic=True)
     if args.batch_size:
         data = dataclasses.replace(data, batch_size=args.batch_size)
+    if args.height:
+        data = dataclasses.replace(data, image_height=args.height)
+    if args.width:
+        data = dataclasses.replace(data, image_width=args.width)
     cfg = dataclasses.replace(cfg, data=data, is_eval=args.is_eval,
                               is_test=args.is_test)
 
-    save_dir = create_exp_dir(args.save, f"train-{args.mode}")
+    save_dir = args.resume or create_exp_dir(args.save,
+                                             f"train-{args.mode}")
     logger = get_logger(log_file=os.path.join(save_dir, "log.txt"))
     logger.info("config: %s", cfg)
 
@@ -85,7 +96,8 @@ def main(argv=None):
 
     session = run_train(cfg, args.arch_dir, val_dataset=val_dataset,
                         epochs=args.epochs, niters=args.niters,
-                        save_dir=save_dir, teacher_ckpt=args.teacher_ckpt)
+                        save_dir=save_dir, teacher_ckpt=args.teacher_ckpt,
+                        resume=bool(args.resume))
     return session
 
 

@@ -31,6 +31,9 @@ def main(argv=None):
     p.add_argument("--Fch", type=int, default=None)
     p.add_argument("--lut", default=None, help="latency LUT json path")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--resume", default=None, metavar="RUN_DIR",
+                   help="resume bit-exactly from an existing run dir "
+                        "(weights, both optimizers, controller, epoch)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -57,10 +60,12 @@ def main(argv=None):
         overrides["layers"] = args.layers
     if args.Fch:
         overrides["Fch"] = args.Fch
+    if args.bf16:
+        overrides["compute_dtype"] = "bfloat16"
     cfg = dataclasses.replace(cfg, **overrides)
 
-    save_dir = create_exp_dir(args.save,
-                              "pretrain" if args.pretrain else "search")
+    save_dir = args.resume or create_exp_dir(
+        args.save, "pretrain" if args.pretrain else "search")
     logger = get_logger(log_file=os.path.join(save_dir, "log.txt"))
     logger.info("config: %s", cfg)
 
@@ -75,7 +80,8 @@ def main(argv=None):
         val_dataset = Cityscapes(setting, "val")
 
     engine = run_search(cfg, val_dataset=val_dataset, epochs=args.epochs,
-                        niters=args.niters, save_dir=save_dir, lut=lut)
+                        niters=args.niters, save_dir=save_dir, lut=lut,
+                        resume=bool(args.resume))
     logger.info("done; artifacts in %s", save_dir)
     return engine
 

@@ -81,6 +81,13 @@ class SearchConfig:
     weight_decay: float = 5e-4
     lr_decay: float = 0.978          # ExponentialLR gamma per epoch
     grad_clip: float = 5.0
+    # rematerialize the scanned cell grid in the multi-forward loss —
+    # 252M-param supernet x 3-4 forwards/step needs it to fit one v5e's
+    # HBM at the reference crop sizes (SURVEY.md §7 hard part #2)
+    supernet_remat: bool = True
+    # supernet compute dtype ("float32" | "bfloat16"); params stay f32.
+    # bf16 feeds the MXU at full rate — the TPU-native training dtype
+    compute_dtype: str = "float32"
     nepochs: int = 30
     # arch optimizer (architect.py:22-24)
     arch_learning_rate: float = 3e-4

@@ -36,9 +36,25 @@ class TrainLoader:
         self._stop = threading.Event()
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
         self._thread: Optional[threading.Thread] = None
+        self._start_epoch = 0
 
     def __len__(self):
         return max(1, len(self.dataset) // self.batch_size)
+
+    def seek(self, epoch: int):
+        """Restart batch production at (epoch, step 0).
+
+        Exact-resume support: batches are a pure function of
+        (seed, epoch, step, slot), so seeking to the checkpointed epoch
+        reproduces the exact batch sequence an unbroken run would see.
+        Train loops call this at every epoch start."""
+        if self._thread is not None:
+            self._stop.set()
+            self._thread.join(timeout=10)
+            self._queue = queue.Queue(maxsize=self.prefetch)
+            self._stop = threading.Event()
+            self._thread = None
+        self._start_epoch = epoch
 
     def _make_batch(self, epoch: int, step: int):
         n = len(self.dataset)
@@ -56,7 +72,7 @@ class TrainLoader:
         return np.stack(imgs), np.stack(labels)
 
     def _worker(self):
-        epoch, step = 0, 0
+        epoch, step = self._start_epoch, 0
         steps_per_epoch = len(self)
         while not self._stop.is_set():
             batch = self._make_batch(epoch, step)

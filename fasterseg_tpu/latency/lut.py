@@ -123,7 +123,13 @@ class LatencyLUT:
         if true in self.table and not (self.alias_op4 and op_idx == 4):
             return self.table[true]
         alias = op_key(op_idx, h, w, c_in, c_out, stride, dilation)
-        if alias in self.table:
+        # the alias (op 4 priced as op 3's BasicResidual2x key) is only an
+        # acceptable answer when there is no way to measure the true key:
+        # with a provider attached, falling back here would silently skip
+        # ever measuring downup_2x (the alias key always exists once op 3
+        # is measured — round-1 VERDICT weak #2)
+        use_alias = self.provider is None or (self.alias_op4 and op_idx == 4)
+        if use_alias and alias in self.table:
             return self.table[alias]
         return self.get(true)
 

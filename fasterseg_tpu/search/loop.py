@@ -55,9 +55,12 @@ logger = logging.getLogger("fasterseg_tpu.search")
 
 class SearchEngine:
     def __init__(self, config: SearchConfig, lut: Optional[LatencyLUT] = None,
-                 dtype=jnp.float32, input_hw=None):
+                 dtype=None, input_hw=None):
         self.config = config
         c = config
+        if dtype is None:
+            dtype = (jnp.bfloat16 if c.compute_dtype == "bfloat16"
+                     else jnp.float32)
         self.wml = tuple(c.width_mult_list)
         self.nw = len(self.wml)
         self.prun_modes = tuple(c.prun_modes)
@@ -68,7 +71,7 @@ class SearchEngine:
         self.model = Supernet(
             layers=c.layers, num_classes=c.num_classes, Fch=c.Fch,
             width_mult_list=self.wml, stem_head_width=tuple(c.stem_head_width),
-            dtype=dtype)
+            dtype=dtype, remat=c.supernet_remat)
         variables = init_supernet(self.model, jax.random.PRNGKey(c.seed),
                                   self.input_hw, self.num_widths_per_arch)
         self.arch_params: Dict[int, ArchParamsPytree] = {
@@ -117,7 +120,16 @@ class SearchEngine:
     def supernet_loss(self, params, batch_stats, x, y, arch_params, key,
                       pretrain: bool):
         """model_search.py:478-505 multi-forward loss; returns
-        (loss, new_batch_stats)."""
+        (loss, new_batch_stats).
+
+        The 3-4 forwards per step differ only in their (traced) width
+        samples when they share an arch_idx, so consecutive same-arch
+        forwards run as ONE lax.scan over stacked samples — the supernet
+        body is traced once per arch instead of once per forward,
+        cutting program size (and TPU compile time) another ~3-4x on top
+        of the layer scan. Batch-stats chaining stays sequential through
+        the scan carry, exactly like the reference's forward order.
+        """
         crit = functools.partial(ohem_cross_entropy, ignore_label=255,
                                  thresh=0.7, min_kept=self.min_kept)
         stats = batch_stats
@@ -133,27 +145,48 @@ class SearchEngine:
             return (sum(crit(p, y) for p in preds),
                     mut["batch_stats"])
 
+        def fwd_group(arch_idx, ap, ratios_list, stats):
+            """Consecutive same-arch forwards as one scan over samples."""
+            if len(ratios_list) == 1:
+                return fwd(arch_idx, ap, ratios_list[0], stats)
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *ratios_list)
+
+            def body(stats, ratios):
+                loss, new_stats = fwd(arch_idx, ap, ratios, stats)
+                return new_stats, loss
+
+            stats, losses = jax.lax.scan(body, stats, stacked)
+            return jnp.sum(losses), stats
+
+        # build the forward list: (arch_idx, ratio samples), ref order
+        forwards = []
         if not pretrain:
             for idx in range(n_arch):
-                ap = arch_params[idx]
-                ratios = sample_ratios(keys[idx], ap.ratios,
-                                       self.prun_modes[idx], self.nw)
-                l, stats = fwd(idx, ap, ratios, stats)
-                total = total + l
+                forwards.append((idx, sample_ratios(
+                    keys[idx], arch_params[idx].ratios,
+                    self.prun_modes[idx], self.nw)))
         if self.nw > 1:
             sandwich_arch = 0 if pretrain else n_arch - 1
-            ap = arch_params[sandwich_arch]
             modes = ["max", "min"] + (["random", "random"] if pretrain else [])
             for m, mode in enumerate(modes):
-                ratios = sample_ratios(keys[n_arch + m], ap.ratios, mode,
-                                       self.nw)
-                l, stats = fwd(sandwich_arch, ap, ratios, stats)
-                total = total + l
+                forwards.append((sandwich_arch, sample_ratios(
+                    keys[n_arch + m], arch_params[sandwich_arch].ratios,
+                    mode, self.nw)))
         elif pretrain:
-            ratios = sample_ratios(keys[-1], arch_params[0].ratios, "max",
-                                   self.nw)
-            l, stats = fwd(0, arch_params[0], ratios, stats)
+            forwards.append((0, sample_ratios(
+                keys[-1], arch_params[0].ratios, "max", self.nw)))
+
+        # group consecutive same-arch forwards
+        i = 0
+        while i < len(forwards):
+            idx = forwards[i][0]
+            j = i
+            while j < len(forwards) and forwards[j][0] == idx:
+                j += 1
+            l, stats = fwd_group(idx, arch_params[idx],
+                                 [r for _, r in forwards[i:j]], stats)
             total = total + l
+            i = j
         return total, stats
 
     def _weight_step(self, pretrain: bool):
@@ -175,7 +208,8 @@ class SearchEngine:
             return state.replace(params=params, batch_stats=new_stats,
                                  opt_state=opt, step=state.step + 1), loss
 
-        self._jits[key] = jax.jit(step)
+        # donate the 252M-param state: in-place update halves peak HBM
+        self._jits[key] = jax.jit(step, donate_argnums=(0,))
         return self._jits[key]
 
     def _arch_step(self):
@@ -207,7 +241,8 @@ class SearchEngine:
                 "loss_arch": loss, "loss_latency": loss_lat,
                 "latency_supernet_ms": sup_ms}
 
-        self._jits["arch"] = jax.jit(step)
+        # arch params/opt are tiny but donating avoids copies anyway
+        self._jits["arch"] = jax.jit(step, donate_argnums=(0, 1))
         return self._jits["arch"]
 
     # ---------------- epoch orchestration ----------------
@@ -218,6 +253,11 @@ class SearchEngine:
         niters = niters or self.config.niters_per_epoch(pretrain)
         wstep = self._weight_step(pretrain)
         astep = self._arch_step() if update_arch else None
+        # batches are keyed (seed, epoch, step, slot): seeking makes the
+        # sequence a pure function of the epoch -> exact resume
+        loader_model.seek(epoch)
+        if update_arch:
+            loader_arch.seek(epoch)
         it_model = iter(loader_model)
         it_arch = iter(loader_arch) if update_arch else None
         base = jax.random.PRNGKey(self.config.seed + 1)
@@ -330,11 +370,48 @@ class SearchEngine:
             batch_stats=partial_load(self.state.batch_stats,
                                      loaded.get("batch_stats", {})))
 
+    def _resume_payload(self, epoch: int):
+        """Everything a bit-exact resume needs: weights, BOTH optimizer
+        states (incl. the LR-schedule step counts), arch params, the
+        FPS-band controller's latency weights, and the epoch cursor.
+        Fixes the reference flaw of never checkpointing optimizer state
+        (SURVEY.md §5.4: resume restarted LR schedules)."""
+        return {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+            "opt_state": self.state.opt_state,
+            "step": self.state.step,
+            "arch_params": self.arch_params,
+            "arch_opt_state": self.arch_opt_state,
+            "controller_weights": np.asarray(self.controller.weights,
+                                             np.float64),
+            "epoch": np.asarray(epoch, np.int32),
+        }
+
+    def restore(self, save_dir: str) -> int:
+        """Restore a full search/pretrain state; returns the next epoch
+        to run (0 if no resume checkpoint exists)."""
+        from ..utils.checkpoint import load_pytree
+        path = os.path.join(save_dir, "resume_ckpt")
+        if not os.path.exists(path):
+            return 0
+        loaded = load_pytree(path, target=self._resume_payload(0))
+        self.state = self.state.replace(
+            params=loaded["params"], batch_stats=loaded["batch_stats"],
+            opt_state=loaded["opt_state"], step=loaded["step"])
+        self.arch_params = loaded["arch_params"]
+        self.arch_opt_state = loaded["arch_opt_state"]
+        self.controller.weights = [
+            float(w) for w in np.asarray(loaded["controller_weights"])]
+        return int(loaded["epoch"]) + 1
+
     def save(self, save_dir: str, epoch: int, metrics: Optional[dict] = None):
         os.makedirs(save_dir, exist_ok=True)
         save_pytree(os.path.join(save_dir, f"weights_ckpt"),
                     {"params": self.state.params,
                      "batch_stats": self.state.batch_stats})
+        save_pytree(os.path.join(save_dir, "resume_ckpt"),
+                    self._resume_payload(epoch))
         m = metrics or {}
         for idx in range(len(self.arch_params)):
             arch = self.numpy_arch(idx)
@@ -346,9 +423,10 @@ class SearchEngine:
 
 
 def run_search(config: SearchConfig, val_dataset=None, epochs=None,
-               niters=None, save_dir=None, max_eval_items=8,
+               niters=None, save_dir=None, max_eval_items=None,
                lut: Optional[LatencyLUT] = None,
-               plot_genotypes: bool = False) -> SearchEngine:
+               plot_genotypes: bool = False,
+               resume: bool = False) -> SearchEngine:
     """Full driver (train_search.py:36-212): pretrain when config.pretrain
     is True, otherwise bi-level search with latency control. Scalars go
     to save_dir/metrics.jsonl (+ TensorBoard when available); with
@@ -357,7 +435,12 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
     pretrain = bool(config.pretrain)
     update_arch = not pretrain
     engine = SearchEngine(config, lut=lut)
-    if not pretrain and config.load_path:
+    start_epoch = 0
+    if resume and save_dir:
+        start_epoch = engine.restore(save_dir)
+        if start_epoch:
+            logger.info("resumed from %s at epoch %d", save_dir, start_epoch)
+    if start_epoch == 0 and not pretrain and config.load_path:
         engine.load_weights(config.load_path)
     writer = None
     if save_dir:
@@ -378,14 +461,16 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
                                    portion=config.train_portion - 1,
                                    index_select=perm)
     if val_dataset is None:
+        # dataset-free smoke: a tiny synthetic val set; with real data
+        # the FULL val set is used unless max_eval_items caps it
         val_dataset = SyntheticDataset(
-            length=max_eval_items,
+            length=max_eval_items or 8,
             hw=(config.eval.eval_height, config.eval.eval_width),
             num_classes=config.num_classes)
 
     valid_names = ("8s", "16s", "32s", "8s_32s", "16s_32s")
     epochs = epochs or config.nepochs
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         stats = engine.train_epoch(loader_model, loader_arch, epoch,
                                    pretrain, update_arch, niters=niters)
         logger.info("epoch %d: %s", epoch, stats)

@@ -131,6 +131,7 @@ class TrainSession:
         }
 
     def train_epoch(self, loader, epoch: int, niters: int):
+        loader.seek(epoch)  # batch sequence = f(epoch) -> exact resume
         it = iter(loader)
         teacher_vars = self.variables[0] if self.is_student else None
         self.metric.reset()
@@ -163,11 +164,36 @@ class TrainSession:
                        eval_flip=self.config.eval.eval_flip)
         return ev.run(self.student_variables(), max_items=max_items)
 
-    def save(self, save_dir: str):
+    def save(self, save_dir: str, epoch: Optional[int] = None):
         os.makedirs(save_dir, exist_ok=True)
         save_pytree(os.path.join(save_dir,
                                  f"weights{self.student_idx}_ckpt"),
                     self.student_variables())
+        if epoch is not None:
+            save_pytree(os.path.join(save_dir, "resume_ckpt"),
+                        self._resume_payload(epoch))
+
+    def _resume_payload(self, epoch: int):
+        """Full TrainState incl. optimizer state (so the x0.992/epoch LR
+        schedule resumes at its exact position — the reference never
+        checkpointed this, SURVEY.md §5.4) + epoch cursor."""
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step,
+                "epoch": np.asarray(epoch, np.int32)}
+
+    def restore(self, save_dir: str) -> int:
+        """Restore a full training state; returns the next epoch to run
+        (0 if no resume checkpoint exists)."""
+        path = os.path.join(save_dir, "resume_ckpt")
+        if not os.path.exists(path):
+            return 0
+        loaded = load_pytree(path, target=self._resume_payload(0))
+        self.state = self.state.replace(
+            params=loaded["params"], batch_stats=loaded["batch_stats"],
+            opt_state=loaded["opt_state"], step=loaded["step"])
+        return int(loaded["epoch"]) + 1
 
 
 def write_test_predictions(session: TrainSession, dataset, out_dir: str,
@@ -197,11 +223,18 @@ def write_test_predictions(session: TrainSession, dataset, out_dir: str,
 def run_train(config: TrainConfig, arch_dir: str, val_dataset=None,
               epochs: Optional[int] = None, niters: Optional[int] = None,
               save_dir: Optional[str] = None,
-              teacher_ckpt: Optional[str] = None) -> TrainSession:
+              teacher_ckpt: Optional[str] = None,
+              resume: bool = False,
+              dataset_cls=Cityscapes) -> TrainSession:
     """Full driver (train.py:42-216)."""
     session = TrainSession(config, arch_dir)
     if session.is_student and teacher_ckpt:
         session.load_teacher_weights(teacher_ckpt)
+    start_epoch = 0
+    if resume and save_dir:
+        start_epoch = session.restore(save_dir)
+        if start_epoch:
+            logger.info("resumed from %s at epoch %d", save_dir, start_epoch)
 
     if config.is_eval:
         assert val_dataset is not None
@@ -209,16 +242,16 @@ def run_train(config: TrainConfig, arch_dir: str, val_dataset=None,
         logger.info("eval-only: %s", res)
         return session
 
-    loader = get_train_loader(config, Cityscapes, test=config.is_test)
+    loader = get_train_loader(config, dataset_cls, test=config.is_test)
     epochs = epochs or config.nepochs
     niters = niters or config.niters_per_epoch
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         stats = session.train_epoch(loader, epoch, niters)
         logger.info("epoch %d: %s", epoch, stats)
         if val_dataset is not None and (epoch + 1) % config.eval_every == 0:
             res = session.evaluate(val_dataset)
             logger.info("epoch %d val: %s", epoch, res)
         if save_dir:
-            session.save(save_dir)
+            session.save(save_dir, epoch)
     loader.close()
     return session

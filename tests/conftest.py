@@ -28,6 +28,14 @@ import pytest
 # default — this applies to the test (CPU) environment only.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the supernet engine programs take minutes
+# for XLA-CPU to compile on this single-core host; caching them makes
+# repeat suite runs compile-free (first run pays once). ~100 MB on disk,
+# gitignored.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 ASSETS = os.path.join(os.path.dirname(__file__), "assets")
 
