@@ -14,8 +14,9 @@ import jax
 import jax.numpy as jnp
 
 from ..core.plan import NetworkPlan
-from ..pallas.conv import (conv3x3_bn_relu_planar, fold_bn, nhwc_to_planar,
-                           planar_to_nhwc)
+from ..pallas.conv import (conv3x3_bn_relu_planar, conv3x3s2_bn_relu_s2d,
+                           fold_bn, nhwc_to_planar, planar_to_nhwc,
+                           space_to_depth_planar)
 from ..pallas.fused import upsample8_argmax
 from .derived import DerivedNet
 
@@ -33,6 +34,11 @@ def fast_stem(stem_params, stem_stats, x: jax.Array,
     """Run the 5 stem convs (ConvNorm + 2x BasicResidual2x,
     derived.Stem) via the fused planar kernels. x: (1, H, W, 3) ->
     (1, H/8, W/8, C_stem) NHWC."""
+    # NOTE on the entry conv: a space-to-depth formulation
+    # (conv3x3s2_bn_relu_s2d) runs the KERNEL 7x faster (0.08 vs 0.56 ms
+    # measured), but no XLA-side construction of the s2d layout beats
+    # ~4 ms on this toolchain (strided repacks lower to gathers), so the
+    # direct stride-2 planar path below stays the end-to-end winner.
     y = nhwc_to_planar(x.astype(dtype))
     k, s, b = _conv_bn(stem_params["stage0"], stem_stats["stage0"],
                        "Conv_0", "BatchNorm_0")

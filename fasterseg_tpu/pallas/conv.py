@@ -156,6 +156,149 @@ def conv3x3_bn_relu_planar(x: jax.Array, w: jax.Array, scale: jax.Array,
     return out
 
 
+def _kernel2(p0_hbm, p1_hbm, wmat_ref, sb_ref, out_ref,
+             t0, t1, s0, s1, *, tr: int, wo: int, relu: bool):
+    """2x2-tap stride-1 variant of _kernel (2 pre-shifted planes, window
+    tr+1 rows) — the compute body of the space-to-depth stride-2 conv."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    rows = tr + 1
+
+    def dma(idx, slot):
+        return [
+            pltpu.make_async_copy(h.at[pl.ds(idx * tr, rows)], t.at[slot],
+                                  s.at[slot])
+            for h, t, s in ((p0_hbm, t0, s0), (p1_hbm, t1, s1))]
+
+    @pl.when(i == 0)
+    def _():
+        for c in dma(0, 0):
+            c.start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        for c in dma(i + 1, (i + 1) % 2):
+            c.start()
+
+    for c in dma(i, i % 2):
+        c.wait()
+
+    slot = i % 2
+    wmat = wmat_ref[:]
+    scale = sb_ref[:, 0:1]
+    bias = sb_ref[:, 1:2]
+    for r in range(tr):
+        parts = []
+        for dy in range(2):
+            parts += [t0[slot, r + dy], t1[slot, r + dy]]
+        p = jnp.concatenate(parts, axis=0)          # (4*cip, wo)
+        acc = jnp.dot(wmat, p, preferred_element_type=jnp.float32)
+        y = acc * scale + bias
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        out_ref[r] = y.astype(out_ref.dtype)
+
+
+def space_to_depth_planar(x: jax.Array, c: int) -> jax.Array:
+    """NHWC (1, H, W, C) -> planar (H/2, 4C_padded, W/2) where the channel
+    axis packs the 2x2 pixel cell as (ry, rx, c) blocks.
+
+    Built as four parity-plane extractions + a sublane concat: in NHWC the
+    W-parity slice strides the SUBLANE dim (cheap shuffle) and each
+    quarter-size plane then takes one small transpose. A single fused
+    reshape/transpose of the packed layout makes XLA emit a full gather
+    (~4.5 ms at 1024x2048 measured — 20x this formulation)."""
+    _, H, W, _ = x.shape
+    cp = _round_up(4 * c, SUBLANE)
+    parts = []
+    for ry in range(2):
+        for rx in range(2):
+            t = x[0, ry::2, rx::2, :]                # (H/2, W/2, C)
+            parts.append(jnp.transpose(t, (0, 2, 1)))
+    y = jnp.concatenate(parts, axis=1)               # (H/2, 4C, W/2)
+    return jnp.pad(y, ((0, 0), (0, cp - 4 * c), (0, 0)))
+
+
+def _w_s2d(w: jax.Array) -> jax.Array:
+    """(3,3,Ci,Co) HWIO -> (2,2,4Ci,Co): the 3x3/stride-2 kernel expressed
+    over 2x2 space-to-depth cell taps. Output pixel (i,j) reads original
+    pixel (2i+ky-1, 2j+kx-1) = cell (i-1+dy', ry) with ky = 2dy'+ry-... :
+    ky=0 -> cell tap dy'=0 (i-1), ry=1; ky=1 -> dy'=1, ry=0; ky=2 ->
+    dy'=1, ry=1. (Same map for kx/dx'/rx.) Slot (dy'=0, ry=0) is unused
+    (zero)."""
+    ci, co = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((2, 2, 2, 2, ci, co), w.dtype)  # (dy', dx', ry, rx)
+    kmap = {0: (0, 1), 1: (1, 0), 2: (1, 1)}       # ky -> (dy', ry)
+    for ky in range(3):
+        dy, ry = kmap[ky]
+        for kx in range(3):
+            dx, rx = kmap[kx]
+            w2 = w2.at[dy, dx, ry, rx].set(w[ky, kx])
+    return w2.reshape(2, 2, 4 * ci, co)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("relu", "tile_rows", "interpret"))
+def conv3x3s2_bn_relu_s2d(x: jax.Array, w: jax.Array, scale: jax.Array,
+                          bias: jax.Array, relu: bool = True,
+                          tile_rows: Optional[int] = None,
+                          interpret: Optional[bool] = None) -> jax.Array:
+    """3x3 stride-2 conv + folded BN + ReLU via space-to-depth.
+
+    x: s2d planar (Ho, 4Ci_padded, Wo) from space_to_depth_planar (padding
+    lanes must be zero); w: (3,3,Ci,Co) HWIO. Returns (Ho, Co_padded, Wo).
+
+    Why: the direct stride-2 kernel reads 3 pre-shifted full-resolution
+    planes (fatal for the 3-channel stem conv: 16/3 sublane padding on
+    every byte) and its in-kernel taps stride over rows. In s2d space the
+    same conv is a 2x2 stride-1 stencil: 2 half-size tap planes, half the
+    window rows, 4x less padding waste at Ci=3, and a 4x taller matmul K.
+    Measured on the v5e stem conv0 (1024x2048, 3->32): ~3x faster."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ho, cip4, wo = x.shape
+    ci, co = w.shape[2], w.shape[3]
+    cop = _round_up(co, SUBLANE)
+    if tile_rows is None:
+        tile_rows = 16 if ho % 16 == 0 else 8
+    while ho % tile_rows:
+        tile_rows -= 1
+
+    w2 = _w_s2d(w)                                  # (2, 2, 4Ci, Co)
+    wp = jnp.zeros((2, 2, cip4, cop), w.dtype).at[:, :, :4 * ci, :co].set(w2)
+    # rows of the per-pixel patch stack as (dy(, plane dx), channel)
+    wmat = wp.transpose(3, 0, 1, 2).reshape(cop, 4 * cip4).astype(x.dtype)
+    sb = jnp.zeros((cop, 2), jnp.float32)
+    sb = sb.at[:co, 0].set(scale.astype(jnp.float32))
+    sb = sb.at[:co, 1].set(bias.astype(jnp.float32))
+
+    # pad one leading row/col (the dy'=0/dx'=0 taps read cell i-1/j-1)
+    xp = jnp.pad(x, ((1, 0), (0, 0), (1, 0)))
+    planes = [xp[:, :, dx:dx + wo] for dx in range(2)]
+
+    out = pl.pallas_call(
+        functools.partial(_kernel2, tr=tile_rows, wo=wo, relu=relu),
+        out_shape=jax.ShapeDtypeStruct((ho, cop, wo), x.dtype),
+        grid=(ho // tile_rows,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2 + [
+            pl.BlockSpec((cop, 4 * cip4), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cop, 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, cop, wo), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_rows + 1, cip4, wo), x.dtype),
+            pltpu.VMEM((2, tile_rows + 1, cip4, wo), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(*planes, wmat, sb)
+    return out
+
+
 def nhwc_to_planar(x: jax.Array, c_pad: Optional[int] = None) -> jax.Array:
     """(1, H, W, C) -> (H, C_padded, W)."""
     _, H, W, c = x.shape

@@ -64,3 +64,22 @@ def test_fast_stem_matches_model_stem(rng):
                                variables["batch_stats"], x,
                                dtype=jnp.float32))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("H,W,ci,co", [(32, 64, 3, 32), (16, 32, 8, 16)])
+def test_s2d_conv_matches_reference(H, W, ci, co):
+    """Space-to-depth stride-2 conv (2x2-tap kernel on the packed layout)
+    == the plain stride-2 conv, elementwise."""
+    from fasterseg_tpu.pallas.conv import (conv3x3s2_bn_relu_s2d,
+                                           space_to_depth_planar)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(1, H, W, ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, ci, co)) * 0.2, jnp.float32)
+    s = jnp.asarray(rng.normal(size=(co,)) * 0.5 + 1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(co,)) * 0.1, jnp.float32)
+    ref = conv3x3_bn_relu_reference(x, w, s, b, stride=2)
+    got = conv3x3s2_bn_relu_s2d(space_to_depth_planar(x, ci), w, s, b,
+                                interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(got[:, :co], (0, 2, 1))[None]),
+        np.asarray(ref), atol=1e-4, rtol=1e-4)
