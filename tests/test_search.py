@@ -36,6 +36,46 @@ def val_dataset():
     return SyntheticDataset(length=2, hw=(64, 128), num_classes=19)
 
 
+@pytest.mark.slow
+def test_engine_steps_single_width(tmp_path):
+    """Single-width engine smoke: width_mult_list=(1.0,) collapses the
+    slimmable masking and the sandwich rule to single forwards — the
+    nw=1 configuration nothing else covers. Slow tier: even this minimal
+    bi-level program costs XLA-CPU ~9 min of compile on this host (the
+    persistent compilation cache makes repeat runs cheap)."""
+    import jax
+    from fasterseg_tpu.search import SearchEngine
+
+    data = DataConfig(synthetic=True, synthetic_length=4,
+                      image_height=64, image_width=128, batch_size=1,
+                      gt_down_sampling=8, num_classes=19)
+    cfg = SearchConfig(
+        data=data, eval=EvalConfig(eval_height=64, eval_width=128),
+        layers=5, Fch=8, pretrain=False, width_mult_list=(1.0,),
+        stem_head_width=((1.0, 1.0), (1.0, 1.0)),
+        prun_modes=("max", "max"),
+        latency_weight=(0.0, 1e-2),
+        fps_min=(0.0, 1e9), fps_max=(0.0, 1e12))
+    engine = SearchEngine(cfg)
+    x = jnp.zeros((1, 64, 128, 3))
+    y = jnp.zeros((1, 8, 16), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    lat_w = jnp.asarray(engine.controller.weights, jnp.float32)
+
+    astep = engine._arch_step()
+    ap, aopt, stats, am = astep(engine.arch_params, engine.arch_opt_state,
+                                engine.state.params,
+                                engine.state.batch_stats, x, y, key, lat_w)
+    assert np.isfinite(float(am["loss_arch"]))
+    assert float(np.abs(np.asarray(ap[1].alphas[0]) - 1e-3).max()) > 0
+
+    wstep = engine._weight_step(False)
+    state, loss = wstep(engine.state, ap, x, y, key)
+    assert np.isfinite(float(loss))
+    assert int(state.step) == 1
+
+
+@pytest.mark.slow
 def test_pretrain_one_epoch(val_dataset, tmp_path_factory):
     cfg = tiny_config(pretrain=True)
     engine = run_search(cfg, val_dataset=val_dataset, epochs=1, niters=2,
@@ -47,6 +87,7 @@ def test_pretrain_one_epoch(val_dataset, tmp_path_factory):
     assert np.isfinite(engine.metrics_log[-1]["loss"])
 
 
+@pytest.mark.slow
 def test_search_updates_arch_and_controller(val_dataset, tmp_path):
     cfg = tiny_config(pretrain=False)
     engine = run_search(cfg, val_dataset=val_dataset, epochs=1, niters=2,
