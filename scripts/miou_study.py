@@ -316,6 +316,10 @@ def cmd_report(args):
                  "8 classes, ignore=255 boundaries), shipped genotypes, "
                  "full FasterSeg recipe, whole-image eval every epoch.")
     lines.append("")
+    if os.path.exists(os.path.join(os.path.dirname(ROOT), "..",
+                                   "docs_miou_curves.png")):
+        lines.append("![mIoU convergence curves](docs_miou_curves.png)")
+        lines.append("")
     lines.append("Cityscapes itself is not redistributable/present on this "
                  "host, so accuracy evidence is a side-by-side convergence "
                  "run: the SAME teacher workload (arch_0 genotype, OHEM + "
