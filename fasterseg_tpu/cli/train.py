@@ -25,6 +25,12 @@ def main(argv=None):
                    help="dir with arch_{0,1}.npz (or reference .pt)")
     p.add_argument("--teacher-ckpt", default=None)
     p.add_argument("--data-root", default=None)
+    p.add_argument("--dataset",
+                   choices=["cityscapes", "bdd", "camvid", "proccity"],
+                   default="cityscapes",
+                   help="dataset schema for --data-root (file-list layout; "
+                        "proccity is the shipped procedural benchmark, "
+                        "see scripts/miou_study.py gen)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--save", default="runs/train")
     p.add_argument("--epochs", type=int, default=None)
@@ -43,15 +49,31 @@ def main(argv=None):
 
     from ..core.config import (cityscapes_student_config,
                                cityscapes_teacher_config)
-    from ..data import Cityscapes, DataSetting, SyntheticDataset
+    from ..data import (BDD, CamVid, Cityscapes, DataSetting,
+                        SyntheticDataset)
     from ..train import run_train, TrainSession, write_test_predictions
     from ..utils.logging import create_exp_dir, get_logger
+
+    if args.dataset == "proccity":
+        from ..data.procgen import make_dataset_cls
+        dataset_cls = make_dataset_cls()
+    else:
+        dataset_cls = {"cityscapes": Cityscapes, "bdd": BDD,
+                       "camvid": CamVid}[args.dataset]
 
     cfg = (cityscapes_teacher_config() if args.mode == "teacher"
            else cityscapes_student_config())
     data = cfg.data
     if args.data_root:
         data = dataclasses.replace(data, dataset_path=args.data_root)
+    if args.dataset != "cityscapes":
+        data = dataclasses.replace(
+            data, num_classes=dataset_cls.num_classes,
+            ignore_label=dataset_cls.ignore_label)
+    if args.dataset == "proccity":
+        data = dataclasses.replace(data, train_source="train.txt",
+                                   eval_source="val.txt",
+                                   test_source="val.txt")
     if args.synthetic:
         data = dataclasses.replace(data, synthetic=True)
     if args.batch_size:
@@ -76,7 +98,7 @@ def main(argv=None):
             eval_source=os.path.join(data.dataset_path, data.eval_source),
             test_source=os.path.join(data.dataset_path, data.test_source),
             down_sampling=data.down_sampling)
-        val_dataset = Cityscapes(setting, "val")
+        val_dataset = dataset_cls(setting, "val")
 
     if args.is_test:
         session = TrainSession(cfg, args.arch_dir)
@@ -88,7 +110,7 @@ def main(argv=None):
                 params=partial_load(sv["params"], loaded.get("params", {})),
                 batch_stats=partial_load(sv["batch_stats"],
                                          loaded.get("batch_stats", {})))
-        test_dataset = Cityscapes(setting, "test")
+        test_dataset = dataset_cls(setting, "test")
         write_test_predictions(session, test_dataset,
                                os.path.join(save_dir, "test"))
         logger.info("submission PNGs in %s/test", save_dir)
@@ -97,7 +119,7 @@ def main(argv=None):
     session = run_train(cfg, args.arch_dir, val_dataset=val_dataset,
                         epochs=args.epochs, niters=args.niters,
                         save_dir=save_dir, teacher_ckpt=args.teacher_ckpt,
-                        resume=bool(args.resume))
+                        resume=bool(args.resume), dataset_cls=dataset_cls)
     return session
 
 

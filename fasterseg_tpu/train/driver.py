@@ -214,8 +214,12 @@ def write_test_predictions(session: TrainSession, dataset, out_dir: str,
         s = dataset[i]
         img = eval_preprocess(s["data"], session.config.data.image_mean,
                               session.config.data.image_std)
-        pred = np.asarray(predict(variables, img[None]))[0]
-        pred = Cityscapes.train_id_to_label_id(pred.astype(np.uint8))
+        pred = np.asarray(predict(variables, img[None]))[0].astype(np.uint8)
+        # Cityscapes submissions need trainId -> official labelId
+        # (train/test.py:60-69); other schemas submit train ids as-is
+        remap = getattr(type(dataset), "train_id_to_label_id", None)
+        if remap is not None:
+            pred = remap(pred)
         name = os.path.splitext(os.path.basename(s["fn"]))[0] + ".png"
         cv2.imwrite(os.path.join(out_dir, name), pred)
 
