@@ -112,7 +112,9 @@ def main(argv=None):
                                          loaded.get("batch_stats", {})))
         test_dataset = dataset_cls(setting, "test")
         write_test_predictions(session, test_dataset,
-                               os.path.join(save_dir, "test"))
+                               os.path.join(save_dir, "test"),
+                               remap=getattr(dataset_cls,
+                                             "train_id_to_label_id", None))
         logger.info("submission PNGs in %s/test", save_dir)
         return session
 

@@ -197,9 +197,13 @@ class TrainSession:
 
 
 def write_test_predictions(session: TrainSession, dataset, out_dir: str,
-                           max_items: Optional[int] = None):
-    """Cityscapes submission writer: predict, remap trainId->labelId,
-    write PNGs (train/test.py:60-69)."""
+                           max_items: Optional[int] = None,
+                           remap=Cityscapes.train_id_to_label_id):
+    """Submission writer: predict, remap train ids, write PNGs
+    (train/test.py:60-69). `remap` defaults to the Cityscapes
+    trainId->official-labelId map; pass the schema's own map (or None
+    for identity) for other datasets — the CLI wires this from
+    --dataset."""
     import cv2
     os.makedirs(out_dir, exist_ok=True)
     model = session.models[session.student_idx]
@@ -215,9 +219,6 @@ def write_test_predictions(session: TrainSession, dataset, out_dir: str,
         img = eval_preprocess(s["data"], session.config.data.image_mean,
                               session.config.data.image_std)
         pred = np.asarray(predict(variables, img[None]))[0].astype(np.uint8)
-        # Cityscapes submissions need trainId -> official labelId
-        # (train/test.py:60-69); other schemas submit train ids as-is
-        remap = getattr(type(dataset), "train_id_to_label_id", None)
         if remap is not None:
             pred = remap(pred)
         name = os.path.splitext(os.path.basename(s["fn"]))[0] + ".png"
