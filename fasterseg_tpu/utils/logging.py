@@ -107,3 +107,22 @@ def create_exp_dir(base: str, name: Optional[str] = None) -> str:
     except Exception:
         pass
     return path
+
+
+def enable_compilation_cache(cache_dir: str = None):
+    """Persistent XLA compilation cache for CLI runs.
+
+    The supernet engine programs cost minutes of (remote) TPU compile;
+    caching them makes repeat CLI invocations start in seconds. Called
+    by every CLI entry point; safe to call more than once. Default
+    location: ~/.cache/fasterseg_tpu/xla."""
+    import jax
+    if cache_dir is None:
+        cache_dir = os.path.join(os.path.expanduser("~"), ".cache",
+                                 "fasterseg_tpu", "xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - older jax without the knobs
+        pass
