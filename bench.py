@@ -8,11 +8,16 @@ on GTX 1080Ti + TensorRT 5.1.5 (BASELINE.md).
 Methodology: the remote-attached TPU ("axon" tunnel) has ~30 ms host
 round-trip latency and `block_until_ready` does not fence device work, so
 per-dispatch timing is meaningless. We time unrolled on-device chains of
-N1 and N2 forwards (a full-reduction carry defeats CSE/DCE) with a host
-fetch at the end, and take the slope — pure steady-state device time per
-frame.
+N1 and N2 forwards with a host fetch at the end and take the slope — pure
+steady-state device time per frame. Each chained iteration carries an
+ADDITIVE data dependency on the previous output folded into the next
+input (c += sum(out)*1e-20): a multiplicative mean(out)*1e-9 chain lets
+XLA drop work entirely (see .claude/skills/verify/SKILL.md). We take the
+median of >=5 independent slope estimates and report the spread.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", ...}
+(extra keys: spread_pct across slope estimates, classmap_* for the fused
+upsample+argmax serving head, int8_* when the int8 path is available).
 """
 
 import json
@@ -28,25 +33,44 @@ BASELINE_FPS = 163.9
 H, W = 1024, 2048
 
 
-def chained(runner, variables, n):
-    def fn(x):
-        c = jnp.float32(0.0)
-        for _ in range(n):
-            out = runner(variables, x + c.astype(x.dtype))
-            # FULL reduction so no part of the forward can be DCE'd
-            c = jnp.mean(out.astype(jnp.float32)) * 1e-9
-        return c
-    return jax.jit(fn)
+def chained(fn, variables, m, inner=10):
+    """m x inner back-to-back forwards on device: an unrolled block of
+    `inner` frames (lets XLA overlap adjacent frames, like the
+    reference's TensorRT execute() loop, darts_utils.py:138-162) inside
+    a fori_loop (compile cost flat in total chain length — a fully
+    unrolled n=25 chain took minutes of XLA time)."""
+    def run(x):
+        def body(_, c):
+            for _ in range(inner):
+                out = fn(variables, x + c.astype(x.dtype))
+                # additive carry: forces every iteration's full forward
+                # to execute (data dependency), perturbs input by ~1e-12
+                c = c + jnp.sum(out.astype(jnp.float32)) * 1e-20
+            return c
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+    return jax.jit(run)
 
 
-def timed(fn, x, reps=4):
-    float(fn(x))  # compile + warm; host fetch fences the device queue
-    best = float("inf")
+def slope_ms(fn, variables, x, m1=1, m2=10, inner=10, reps=5):
+    """Median/spread of `reps` independent slope estimates (ms/frame).
+    The chain-length difference (m2-m1)*inner frames is ~hundreds of ms
+    of device time — far above the ~30 ms host-tunnel jitter."""
+    f1 = chained(fn, variables, m1, inner)
+    f2 = chained(fn, variables, m2, inner)
+    float(f1(x))  # compile + warm; host fetch fences the device queue
+    float(f2(x))
+    slopes = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        float(fn(x))
-        best = min(best, time.perf_counter() - t0)
-    return best
+        float(f1(x))
+        t1 = time.perf_counter()
+        float(f2(x))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / ((m2 - m1) * inner) * 1e3)
+    slopes.sort()
+    med = slopes[len(slopes) // 2]
+    spread = (slopes[-1] - slopes[0]) / med * 100.0
+    return med, spread
 
 
 def main():
@@ -56,22 +80,29 @@ def main():
     variables = jax.device_put(variables)
     runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16)
 
-    def forward(v, x):
-        return runner.logits(v, x)
-
     x = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, 3), jnp.bfloat16)
 
-    n1, n2 = 2, 10
-    t1 = timed(chained(forward, variables, n1), x)
-    t2 = timed(chained(forward, variables, n2), x)
-    ms = (t2 - t1) / (n2 - n1) * 1e3
-    fps = 1e3 / ms
-    print(json.dumps({
+    ms, spread = slope_ms(runner.logits, variables, x)
+    cms, cspread = slope_ms(runner.classmap, variables, x)
+
+    result = {
         "metric": "student_inference_fps_1024x2048_b1",
-        "value": round(fps, 2),
+        "value": round(1e3 / ms, 2),
         "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
-    }))
+        "vs_baseline": round(1e3 / ms / BASELINE_FPS, 3),
+        "spread_pct": round(spread, 1),
+        "classmap_fps": round(1e3 / cms, 2),
+        "classmap_spread_pct": round(cspread, 1),
+    }
+    try:
+        from fasterseg_tpu.models.quantize import quantize_variables
+        qvars, qrunner = quantize_variables(plan, variables)
+        qms, qspread = slope_ms(qrunner.logits, qvars, x)
+        result["int8_fps"] = round(1e3 / qms, 2)
+        result["int8_spread_pct"] = round(qspread, 1)
+    except ImportError:
+        pass
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
