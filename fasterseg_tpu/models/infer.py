@@ -33,16 +33,17 @@ def fast_stem(stem_params, stem_stats, x: jax.Array,
               dtype=jnp.bfloat16) -> jax.Array:
     """Run the 5 stem convs (ConvNorm + 2x BasicResidual2x,
     derived.Stem) via the fused planar kernels. x: (1, H, W, 3) ->
-    (1, H/8, W/8, C_stem) NHWC."""
-    # NOTE on the entry conv: a space-to-depth formulation
-    # (conv3x3s2_bn_relu_s2d) runs the KERNEL 7x faster (0.08 vs 0.56 ms
-    # measured), but no XLA-side construction of the s2d layout beats
-    # ~4 ms on this toolchain (strided repacks lower to gathers), so the
-    # direct stride-2 planar path below stays the end-to-end winner.
-    y = nhwc_to_planar(x.astype(dtype))
+    (1, H/8, W/8, C_stem) NHWC.
+
+    Entry conv: space-to-depth formulation — the s2d layout is built by
+    free reshapes around one minor-dim transpose (~0.03 ms, see
+    space_to_depth_planar) and the 2x2-tap kernel then runs the 3->C
+    stride-2 conv ~4x faster than the direct planar path (0.16 vs
+    0.53 ms measured end-to-end at 1024x2048)."""
     k, s, b = _conv_bn(stem_params["stage0"], stem_stats["stage0"],
                        "Conv_0", "BatchNorm_0")
-    y = conv3x3_bn_relu_planar(y, k.astype(dtype), s, b, stride=2)
+    y = conv3x3s2_bn_relu_s2d(space_to_depth_planar(x.astype(dtype), 3),
+                              k.astype(dtype), s, b)
     for stage in ("stage1", "stage2"):
         k, s, b = _conv_bn(stem_params[stage], stem_stats[stage],
                            "Conv_0", "BatchNorm_0")

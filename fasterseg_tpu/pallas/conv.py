@@ -203,19 +203,18 @@ def space_to_depth_planar(x: jax.Array, c: int) -> jax.Array:
     """NHWC (1, H, W, C) -> planar (H/2, 4C_padded, W/2) where the channel
     axis packs the 2x2 pixel cell as (ry, rx, c) blocks.
 
-    Built as four parity-plane extractions + a sublane concat: in NHWC the
-    W-parity slice strides the SUBLANE dim (cheap shuffle) and each
-    quarter-size plane then takes one small transpose. A single fused
-    reshape/transpose of the packed layout makes XLA emit a full gather
-    (~4.5 ms at 1024x2048 measured — 20x this formulation)."""
+    Built as free row-major reshapes around ONE minor-dim transpose:
+    (H, W, C) -> view (H, W/2, 2C) [cell, (rx, c)] -> transpose last two
+    dims -> (H, 2C, W/2) -> view (H/2, 4C, W/2) [(ry, rx, c)]. The
+    transpose never crosses the major (row) dim, so XLA lowers it as a
+    cheap tiled shuffle: measured ~0.03 ms at 1024x2048x3 — against
+    ~4.5 ms for a fused reshape/transpose of the packed layout (gather)
+    and ~0.56 ms for the direct stride-2 planar conv this feeds replaces."""
     _, H, W, _ = x.shape
     cp = _round_up(4 * c, SUBLANE)
-    parts = []
-    for ry in range(2):
-        for rx in range(2):
-            t = x[0, ry::2, rx::2, :]                # (H/2, W/2, C)
-            parts.append(jnp.transpose(t, (0, 2, 1)))
-    y = jnp.concatenate(parts, axis=1)               # (H/2, 4C, W/2)
+    x3 = x.reshape(H, W // 2, 2 * c)
+    t = jnp.transpose(x3, (0, 2, 1))
+    y = t.reshape(H // 2, 4 * c, W // 2)
     return jnp.pad(y, ((0, 0), (0, cp - 4 * c), (0, 0)))
 
 
