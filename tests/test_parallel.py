@@ -98,3 +98,28 @@ def test_evaluator_mesh_matches_single_device():
     np.testing.assert_array_equal(single.hist, sharded.hist)
     assert single.mean_iu == sharded.mean_iu
     assert single.pixel_acc == sharded.pixel_acc
+
+
+def test_evaluator_fused_matches_host_path():
+    """The fused on-device tail (normalize+forward+argmax+hist in one
+    program, scales=(1.0,)) must match the host accumulate path exactly.
+    Oracle: scales=(1.0, 1.0) forces the host path while summing the
+    same probabilities twice — identical argmax and hist."""
+    from fasterseg_tpu.data import SyntheticDataset
+    from fasterseg_tpu.eval.evaluator import Evaluator
+
+    ds = SyntheticDataset(length=6, hw=(32, 64), num_classes=5, seed=3)
+    w = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 3, 5)) * 0.3
+
+    def fwd(variables, images):
+        return jax.lax.conv_general_dilated(
+            images, variables["w"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    kw = dict(num_classes=5, image_mean=(0.5, 0.5, 0.5),
+              image_std=(0.25, 0.25, 0.25), forward_fn=fwd)
+    fused = Evaluator(ds, eval_scales=(1.0,), **kw).run({"w": w})
+    host = Evaluator(ds, eval_scales=(1.0, 1.0), **kw).run({"w": w})
+    np.testing.assert_array_equal(fused.hist, host.hist)
+    assert fused.mean_iu == host.mean_iu
+    assert fused.pixel_acc == host.pixel_acc
