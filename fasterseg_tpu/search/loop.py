@@ -54,9 +54,16 @@ logger = logging.getLogger("fasterseg_tpu.search")
 
 
 class SearchEngine:
+    """With `mesh`, pretrain/search run data-parallel over the mesh's
+    first axis (SURVEY.md §2.6/§5.8): supernet weights, arch params and
+    both optimizer states replicate; batches shard; the jitted steps'
+    in/out shardings make XLA insert weight- AND arch-gradient
+    all-reduces plus global (sync) BN statistic reductions over ICI."""
+
     def __init__(self, config: SearchConfig, lut: Optional[LatencyLUT] = None,
-                 dtype=None, input_hw=None):
+                 dtype=None, input_hw=None, mesh=None):
         self.config = config
+        self.mesh = mesh
         c = config
         if dtype is None:
             dtype = (jnp.bfloat16 if c.compute_dtype == "bfloat16"
@@ -114,6 +121,20 @@ class SearchEngine:
         self.min_kept = c.min_kept(bool(c.pretrain))
         self._jits = {}
         self.metrics_log: List[dict] = []
+
+        self._repl = self._data = None
+        if mesh is not None:
+            from ..parallel import batch_sharding, replicated
+            bs = c.pretrain_batch_size if c.pretrain else c.data.batch_size
+            assert bs % mesh.devices.size == 0, (
+                f"global batch {bs} must divide over "
+                f"{mesh.devices.size} devices")
+            self._repl = replicated(mesh)
+            self._data = batch_sharding(mesh)
+            self.state = jax.device_put(self.state, self._repl)
+            self.arch_params = jax.device_put(self.arch_params, self._repl)
+            self.arch_opt_state = jax.device_put(self.arch_opt_state,
+                                                 self._repl)
 
     # ---------------- losses and steps ----------------
 
@@ -209,7 +230,12 @@ class SearchEngine:
                                  opt_state=opt, step=state.step + 1), loss
 
         # donate the 252M-param state: in-place update halves peak HBM
-        self._jits[key] = jax.jit(step, donate_argnums=(0,))
+        kw = {}
+        if self.mesh is not None:
+            kw = dict(in_shardings=(self._repl, self._repl, self._data,
+                                    self._data, self._repl),
+                      out_shardings=(self._repl, self._repl))
+        self._jits[key] = jax.jit(step, donate_argnums=(0,), **kw)
         return self._jits[key]
 
     def _arch_step(self):
@@ -242,7 +268,13 @@ class SearchEngine:
                 "latency_supernet_ms": sup_ms}
 
         # arch params/opt are tiny but donating avoids copies anyway
-        self._jits["arch"] = jax.jit(step, donate_argnums=(0, 1))
+        kw = {}
+        if self.mesh is not None:
+            kw = dict(in_shardings=(self._repl, self._repl, self._repl,
+                                    self._repl, self._data, self._data,
+                                    self._repl, self._repl),
+                      out_shardings=self._repl)
+        self._jits["arch"] = jax.jit(step, donate_argnums=(0, 1), **kw)
         return self._jits["arch"]
 
     # ---------------- epoch orchestration ----------------
@@ -406,14 +438,23 @@ class SearchEngine:
         return int(loaded["epoch"]) + 1
 
     def save(self, save_dir: str, epoch: int, metrics: Optional[dict] = None):
+        """`metrics` maps arch_idx -> {mIoU02, latency02, mIoU12,
+        latency12} so each arch npz carries its OWN numbers. (The
+        reference saves loop-stale values: train_search.py:185-202
+        stamps the last arch's mIoUs/fps into every arch_{idx}.pt, and
+        train.py:102-105 then selects branches on the wrong arch's
+        metrics — a quirk we fix rather than replicate; PARITY.md.)
+        A flat {mIoU02, ...} dict is accepted and applied to every arch."""
         os.makedirs(save_dir, exist_ok=True)
         save_pytree(os.path.join(save_dir, f"weights_ckpt"),
                     {"params": self.state.params,
                      "batch_stats": self.state.batch_stats})
         save_pytree(os.path.join(save_dir, "resume_ckpt"),
                     self._resume_payload(epoch))
-        m = metrics or {}
+        metrics = metrics or {}
         for idx in range(len(self.arch_params)):
+            per_arch = metrics.get(idx)
+            m = per_arch if isinstance(per_arch, dict) else metrics
             arch = self.numpy_arch(idx)
             for path in (os.path.join(save_dir, f"arch_{idx}.npz"),
                          os.path.join(save_dir, f"arch_{idx}_{epoch}.npz")):
@@ -496,9 +537,9 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
                 mious = engine.validate(val_dataset, idx,
                                         max_items=max_eval_items)
                 fps0, fps1 = engine.arch_fps(idx)
-                metrics.update({"mIoU02": mious[3], "mIoU12": mious[4],
+                metrics[idx] = {"mIoU02": mious[3], "mIoU12": mious[4],
                                 "latency02": 1000.0 / fps0,
-                                "latency12": 1000.0 / fps1})
+                                "latency12": 1000.0 / fps1}
                 w = engine.controller.update(idx, fps0, fps1)
                 logger.info("epoch %d arch %d val: %s fps=(%.1f, %.1f) "
                             "lat_w=%g", epoch, idx,

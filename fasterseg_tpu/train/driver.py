@@ -85,11 +85,18 @@ def build_model_from_arch(config: TrainConfig, arch_path: str,
 
 
 class TrainSession:
-    """Holds teacher + student models, states, and jitted steps."""
+    """Holds teacher + student models, states, and jitted steps.
+
+    With `mesh` (SPMD data parallelism over ICI, SURVEY.md §2.6/§5.8):
+    params/optimizer state are replicated, every batch is sharded over
+    the mesh's data axis, and the jitted step's in/out shardings make
+    XLA insert gradient all-reduces and global (sync) BN statistic
+    reductions; the Evaluator shards val batches over the same mesh."""
 
     def __init__(self, config: TrainConfig, arch_dir: str,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, mesh=None):
         self.config = config
+        self.mesh = mesh
         c = config
         hw = (c.data.image_height, c.data.image_width)
         self.models, self.plans, self.variables = {}, {}, {}
@@ -113,22 +120,42 @@ class TrainSession:
         self.state = create_train_state(self.variables[self.student_idx],
                                         self.tx)
         teacher_model = self.models[0] if self.is_student else None
-        self.step_fn = jax.jit(make_train_step(
+        step = make_train_step(
             self.models[self.student_idx], self.tx,
             teacher_model=teacher_model,
             min_kept=c.min_kept(), ignore_label=c.data.ignore_label,
-            aux_weight=c.aux_weight, num_classes=c.data.num_classes))
+            aux_weight=c.aux_weight, num_classes=c.data.num_classes)
+        if mesh is not None:
+            from ..parallel import batch_sharding, replicated
+            assert c.data.batch_size % mesh.devices.size == 0, (
+                f"global batch {c.data.batch_size} must divide over "
+                f"{mesh.devices.size} devices")
+            self._repl = replicated(mesh)
+            self._data = batch_sharding(mesh)
+            self.state = jax.device_put(self.state, self._repl)
+            self.variables = {k: jax.device_put(v, self._repl)
+                              for k, v in self.variables.items()}
+            shard_in = ((self._repl, self._data, self._data, self._repl)
+                        if self.is_student
+                        else (self._repl, self._data, self._data))
+            self.step_fn = jax.jit(step, in_shardings=shard_in,
+                                   out_shardings=(self._repl, self._repl))
+        else:
+            self.step_fn = jax.jit(step)
         self.metric = SegMetrics(c.data.num_classes)
 
     def load_teacher_weights(self, ckpt_path: str):
         """Frozen teacher for distillation (train.py:124-129)."""
         loaded = load_pytree(ckpt_path)
         tv = self.variables[0]
-        self.variables[0] = {
+        new = {
             "params": partial_load(tv["params"], loaded.get("params", {})),
             "batch_stats": partial_load(tv["batch_stats"],
                                         loaded.get("batch_stats", {})),
         }
+        if self.mesh is not None:
+            new = jax.device_put(new, self._repl)
+        self.variables[0] = new
 
     def train_epoch(self, loader, epoch: int, niters: int):
         loader.seek(epoch)  # batch sequence = f(epoch) -> exact resume
@@ -138,12 +165,14 @@ class TrainSession:
         loss = None
         for _ in range(niters):
             x, y = next(it)
+            x, y = jnp.asarray(x), jnp.asarray(y)
+            if self.mesh is not None:
+                x = jax.device_put(x, self._data)
+                y = jax.device_put(y, self._data)
             if teacher_vars is not None:
-                self.state, m = self.step_fn(self.state, jnp.asarray(x),
-                                             jnp.asarray(y), teacher_vars)
+                self.state, m = self.step_fn(self.state, x, y, teacher_vars)
             else:
-                self.state, m = self.step_fn(self.state, jnp.asarray(x),
-                                             jnp.asarray(y))
+                self.state, m = self.step_fn(self.state, x, y)
             self.metric.update(np.asarray(m["inter"]), np.asarray(m["union"]))
             loss = m["loss"]
         return {"loss": float(loss), "train_mIoU": self.metric.get_scores()}
@@ -161,7 +190,8 @@ class TrainSession:
                        self.config.data.image_mean,
                        self.config.data.image_std, fwd,
                        eval_scales=self.config.eval.eval_scale_array,
-                       eval_flip=self.config.eval.eval_flip)
+                       eval_flip=self.config.eval.eval_flip,
+                       mesh=self.mesh)
         return ev.run(self.student_variables(), max_items=max_items)
 
     def save(self, save_dir: str, epoch: Optional[int] = None):
@@ -230,9 +260,10 @@ def run_train(config: TrainConfig, arch_dir: str, val_dataset=None,
               save_dir: Optional[str] = None,
               teacher_ckpt: Optional[str] = None,
               resume: bool = False,
-              dataset_cls=Cityscapes) -> TrainSession:
-    """Full driver (train.py:42-216)."""
-    session = TrainSession(config, arch_dir)
+              dataset_cls=Cityscapes, mesh=None) -> TrainSession:
+    """Full driver (train.py:42-216). `mesh`: data-parallel SPMD over
+    the mesh's first axis (batches shard, params replicate)."""
+    session = TrainSession(config, arch_dir, mesh=mesh)
     if session.is_student and teacher_ckpt:
         session.load_teacher_weights(teacher_ckpt)
     start_epoch = 0

@@ -114,6 +114,27 @@ def test_search_updates_arch_and_controller(val_dataset, tmp_path):
     assert "mIoU02" in d and "latency12" in d
 
 
+def test_save_per_arch_metrics(tmp_path):
+    """Each arch npz must carry its OWN mIoU/latency (the reference
+    stamps loop-stale values from the last arch into every arch_{idx}.pt,
+    train_search.py:185-202 — fixed here, not replicated)."""
+    from fasterseg_tpu.search import SearchEngine
+
+    engine = SearchEngine(tiny_config(pretrain=False))
+    engine.save(str(tmp_path), epoch=0, metrics={
+        0: {"mIoU02": 0.5, "latency02": 10.0, "mIoU12": 0.4,
+            "latency12": 11.0},
+        1: {"mIoU02": 0.3, "latency02": 6.0, "mIoU12": 0.2,
+            "latency12": 7.0}})
+    d0 = np.load(tmp_path / "arch_0.npz")
+    d1 = np.load(tmp_path / "arch_1.npz")
+    assert float(d0["mIoU02"]) == 0.5 and float(d1["mIoU02"]) == 0.3
+    assert float(d0["latency12"]) == 11.0 and float(d1["latency12"]) == 7.0
+    # flat dict still applies to every arch (back-compat)
+    engine.save(str(tmp_path), epoch=1, metrics={"mIoU02": 0.9})
+    assert float(np.load(tmp_path / "arch_1.npz")["mIoU02"]) == 0.9
+
+
 def test_decoded_arch_is_buildable(val_dataset):
     """Searched (even briefly) arch params must decode into a valid plan
     and network — exercises decode invariants on non-shipped params."""
