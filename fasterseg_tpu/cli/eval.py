@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("--max-items", type=int, default=None)
     args = p.parse_args(argv)
 
+    from ..utils.logging import enable_compilation_cache
+    enable_compilation_cache()
+
     from ..core.config import (cityscapes_student_config,
                                cityscapes_teacher_config)
     from ..data import Cityscapes, DataSetting

@@ -45,6 +45,9 @@ def main(argv=None):
                         "(default: the shipped teacher/student assets)")
     args = p.parse_args(argv)
 
+    from ..utils.logging import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax.numpy as jnp
     import numpy as np
 

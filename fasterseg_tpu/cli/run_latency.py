@@ -27,6 +27,9 @@ def main(argv=None):
     p.add_argument("--lut", default=None)
     args = p.parse_args(argv)
 
+    from ..utils.logging import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
     from ..core.config import WIDTH_MULT_LIST

@@ -47,6 +47,9 @@ def main(argv=None):
                         "(weights, optimizer incl. LR position, epoch)")
     args = p.parse_args(argv)
 
+    from ..utils.logging import enable_compilation_cache
+    enable_compilation_cache()
+
     from ..core.config import (cityscapes_student_config,
                                cityscapes_teacher_config)
     from ..data import (BDD, CamVid, Cityscapes, DataSetting,

@@ -36,6 +36,9 @@ def main(argv=None):
                         "(weights, both optimizers, controller, epoch)")
     args = p.parse_args(argv)
 
+    from ..utils.logging import enable_compilation_cache
+    enable_compilation_cache()
+
     import jax.numpy as jnp
     from ..core.config import (cityscapes_pretrain_config,
                                cityscapes_search_config)

@@ -19,6 +19,7 @@ runs, benchmark shapes).
 from __future__ import annotations
 
 import dataclasses
+import logging
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -70,10 +71,16 @@ LISTS_DIR = os.path.join(os.path.dirname(__file__), "lists")
 
 def resolve_source(source: Optional[str]) -> Optional[str]:
     """Resolve a file-list path: use it if it exists, otherwise fall back
-    to the shipped package list of the same name."""
+    to the shipped package list of the same name (with a warning — a
+    typoed --data-root would otherwise pair the canonical enumeration
+    against the wrong image root and fail later with confusing
+    missing-file errors; ADVICE round-2)."""
     if source and not os.path.isfile(source):
         cand = os.path.join(LISTS_DIR, os.path.basename(source))
         if os.path.isfile(cand):
+            logging.getLogger("fasterseg_tpu.data").warning(
+                "file list %s does not exist; substituting the shipped "
+                "package list %s", source, cand)
             return cand
     return source
 

@@ -71,14 +71,20 @@ class TrainLoader:
             labels.append(gt)
         return np.stack(imgs), np.stack(labels)
 
-    def _worker(self):
+    def _worker(self, stop: threading.Event, out: "queue.Queue"):
+        # stop/out are captured at thread START (not read from self):
+        # if seek() times out joining a slow worker and replaces
+        # self._stop/self._queue, the orphan keeps testing its OWN stop
+        # event and writing its OWN (discarded) queue — it can never
+        # interleave stale-epoch batches into the new worker's stream,
+        # which exact resume depends on (ADVICE round-2).
         epoch, step = self._start_epoch, 0
         steps_per_epoch = len(self)
-        while not self._stop.is_set():
+        while not stop.is_set():
             batch = self._make_batch(epoch, step)
-            while not self._stop.is_set():
+            while not stop.is_set():
                 try:
-                    self._queue.put(batch, timeout=0.5)
+                    out.put(batch, timeout=0.5)
                     break
                 except queue.Full:
                     continue
@@ -89,7 +95,9 @@ class TrainLoader:
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         if self._thread is None:
-            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread = threading.Thread(
+                target=self._worker, args=(self._stop, self._queue),
+                daemon=True)
             self._thread.start()
         while True:
             yield self._queue.get()
