@@ -45,6 +45,10 @@ def main(argv=None):
     p.add_argument("--resume", default=None, metavar="RUN_DIR",
                    help="resume bit-exactly from an existing run dir "
                         "(weights, optimizer incl. LR position, epoch)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel SPMD over the first N devices "
+                        "(params replicated, batches sharded over ICI); "
+                        "global batch must divide by N")
     args = p.parse_args(argv)
 
     from ..utils.logging import enable_compilation_cache
@@ -121,10 +125,16 @@ def main(argv=None):
         logger.info("submission PNGs in %s/test", save_dir)
         return session
 
+    mesh = None
+    if args.devices and args.devices > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(args.devices)
+        logger.info("mesh: %d devices, data-parallel", args.devices)
     session = run_train(cfg, args.arch_dir, val_dataset=val_dataset,
                         epochs=args.epochs, niters=args.niters,
                         save_dir=save_dir, teacher_ckpt=args.teacher_ckpt,
-                        resume=bool(args.resume), dataset_cls=dataset_cls)
+                        resume=bool(args.resume), dataset_cls=dataset_cls,
+                        mesh=mesh)
     return session
 
 

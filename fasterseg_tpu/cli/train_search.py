@@ -34,6 +34,10 @@ def main(argv=None):
     p.add_argument("--resume", default=None, metavar="RUN_DIR",
                    help="resume bit-exactly from an existing run dir "
                         "(weights, both optimizers, controller, epoch)")
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel SPMD over the first N devices "
+                        "(params replicated, batches sharded over ICI); "
+                        "global batch must divide by N")
     args = p.parse_args(argv)
 
     from ..utils.logging import enable_compilation_cache
@@ -82,9 +86,14 @@ def main(argv=None):
             down_sampling=data.down_sampling)
         val_dataset = Cityscapes(setting, "val")
 
+    mesh = None
+    if args.devices and args.devices > 1:
+        from ..parallel import make_mesh
+        mesh = make_mesh(args.devices)
+        logger.info("mesh: %d devices, data-parallel", args.devices)
     engine = run_search(cfg, val_dataset=val_dataset, epochs=args.epochs,
                         niters=args.niters, save_dir=save_dir, lut=lut,
-                        resume=bool(args.resume))
+                        resume=bool(args.resume), mesh=mesh)
     logger.info("done; artifacts in %s", save_dir)
     return engine
 

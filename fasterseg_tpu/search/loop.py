@@ -294,20 +294,26 @@ class SearchEngine:
         it_arch = iter(loader_arch) if update_arch else None
         base = jax.random.PRNGKey(self.config.seed + 1)
         last = {}
+
+        def place(x, y):
+            x, y = jnp.asarray(x), jnp.asarray(y)
+            if self.mesh is not None:
+                x = jax.device_put(x, self._data)
+                y = jax.device_put(y, self._data)
+            return x, y
+
         for step in range(niters):
             rng = jax.random.fold_in(base, epoch * niters + step)
             if update_arch:
-                xa, ya = next(it_arch)
+                xa, ya = place(*next(it_arch))
                 lat_w = jnp.asarray(self.controller.weights, jnp.float32)
                 self.arch_params, self.arch_opt_state, new_stats, am = astep(
                     self.arch_params, self.arch_opt_state, self.state.params,
-                    self.state.batch_stats, jnp.asarray(xa), jnp.asarray(ya),
-                    rng, lat_w)
+                    self.state.batch_stats, xa, ya, rng, lat_w)
                 self.state = self.state.replace(batch_stats=new_stats)
                 last.update({k: float(v) for k, v in am.items()})
-            x, y = next(it_model)
-            self.state, loss = wstep(self.state, self.arch_params,
-                                     jnp.asarray(x), jnp.asarray(y),
+            x, y = place(*next(it_model))
+            self.state, loss = wstep(self.state, self.arch_params, x, y,
                                      jax.random.fold_in(rng, 1))
             last["loss"] = float(loss)
         self.metrics_log.append({"epoch": epoch, **last})
@@ -467,7 +473,7 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
                niters=None, save_dir=None, max_eval_items=None,
                lut: Optional[LatencyLUT] = None,
                plot_genotypes: bool = False,
-               resume: bool = False) -> SearchEngine:
+               resume: bool = False, mesh=None) -> SearchEngine:
     """Full driver (train_search.py:36-212): pretrain when config.pretrain
     is True, otherwise bi-level search with latency control. Scalars go
     to save_dir/metrics.jsonl (+ TensorBoard when available); with
@@ -475,7 +481,7 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
     reference's arch_logging (train_search.py:274-303)."""
     pretrain = bool(config.pretrain)
     update_arch = not pretrain
-    engine = SearchEngine(config, lut=lut)
+    engine = SearchEngine(config, lut=lut, mesh=mesh)
     start_epoch = 0
     if resume and save_dir:
         start_epoch = engine.restore(save_dir)
