@@ -21,6 +21,7 @@ upsample+argmax serving head, int8_* when the int8 path is available).
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -94,14 +95,14 @@ def main():
         "classmap_fps": round(1e3 / cms, 2),
         "classmap_spread_pct": round(cspread, 1),
     }
-    try:
+    if "--int8" in sys.argv:
+        # weight-only int8 PTQ path (models/quantize.py) — opt-in so the
+        # default scoreboard run stays within the driver budget
         from fasterseg_tpu.models.quantize import quantize_variables
         qvars, qrunner = quantize_variables(plan, variables)
         qms, qspread = slope_ms(qrunner.logits, qvars, x)
         result["int8_fps"] = round(1e3 / qms, 2)
         result["int8_spread_pct"] = round(qspread, 1)
-    except ImportError:
-        pass
     print(json.dumps(result))
 
 

@@ -87,5 +87,9 @@ class InferenceRunner:
                                   stem_out=_stem(v, x), upsample=False)
             return upsample8_argmax(p8, out_hw=(x.shape[1], x.shape[2]))
 
+        # unjitted fns exposed for composition (e.g. the int8 runner
+        # dequantizes weights inside its own jit, then calls these)
+        self.logits_fn = logits_fn
+        self.classmap_fn = classmap_fn
         self.logits = jax.jit(logits_fn)
         self.classmap = jax.jit(classmap_fn)

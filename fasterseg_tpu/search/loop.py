@@ -473,7 +473,8 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
                niters=None, save_dir=None, max_eval_items=None,
                lut: Optional[LatencyLUT] = None,
                plot_genotypes: bool = False,
-               resume: bool = False, mesh=None) -> SearchEngine:
+               resume: bool = False, mesh=None,
+               dataset_cls=None) -> SearchEngine:
     """Full driver (train_search.py:36-212): pretrain when config.pretrain
     is True, otherwise bi-level search with latency control. Scalars go
     to save_dir/metrics.jsonl (+ TensorBoard when available); with
@@ -501,10 +502,11 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
         perm = list(np.random.default_rng(config.seed).permutation(
             config.data.num_train_imgs))
     from ..data import Cityscapes
-    loader_model = get_train_loader(config, Cityscapes,
+    dataset_cls = dataset_cls or Cityscapes
+    loader_model = get_train_loader(config, dataset_cls,
                                     portion=config.train_portion,
                                     index_select=perm)
-    loader_arch = get_train_loader(config, Cityscapes,
+    loader_arch = get_train_loader(config, dataset_cls,
                                    portion=config.train_portion - 1,
                                    index_select=perm)
     if val_dataset is None:

