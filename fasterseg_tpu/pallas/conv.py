@@ -135,7 +135,7 @@ def conv3x3_bn_relu_planar(x: jax.Array, w: jax.Array, scale: jax.Array,
                           relu=relu),
         out_shape=jax.ShapeDtypeStruct((ho, cop, wo), x.dtype),
         grid=(ho // tile_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3 + [
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 + [
             pl.BlockSpec((cop, 9 * cip), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cop, 2), lambda i: (0, 0),
@@ -279,7 +279,7 @@ def conv3x3s2_bn_relu_s2d(x: jax.Array, w: jax.Array, scale: jax.Array,
         functools.partial(_kernel2, tr=tile_rows, wo=wo, relu=relu),
         out_shape=jax.ShapeDtypeStruct((ho, cop, wo), x.dtype),
         grid=(ho // tile_rows,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2 + [
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + [
             pl.BlockSpec((cop, 4 * cip4), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cop, 2), lambda i: (0, 0),

@@ -331,13 +331,14 @@ class SearchEngine:
             return self._jits[key]
         ap_struct = self.arch_params[arch_idx]
 
+        from ..eval.metrics import confusion_hist
+
         def program(variables, images, labels, alphas, betas, ratios):
             preds = self.model.apply(variables, images, arch_idx,
                                      alphas, betas, ratios, train=False)
             hists = []
             for p in preds:
                 pred = jnp.argmax(p, axis=-1).astype(jnp.int32)
-                from ..eval.metrics import confusion_hist
                 hists.append(confusion_hist(pred, labels,
                                             self.config.num_classes))
             return jnp.stack(hists)
