@@ -75,9 +75,12 @@ def slope_time_ms(fn: Callable, args: Sequence, n1: int = 4, n2: int = 16,
             for _ in range(n):
                 out = fn(first + c.astype(first.dtype), *rest)
                 out0 = jax.tree.leaves(out)[0]
-                # FULL reduction: consuming only a slice would let XLA
-                # dead-code-eliminate most of the computation
-                c = jnp.mean(out0.astype(jnp.float32)) * 1e-9
+                # FULL reduction, ADDITIVE carry: consuming only a slice
+                # would let XLA dead-code-eliminate most of the
+                # computation, and a multiplicative mean(out)*1e-9 chain
+                # lets XLA drop work entirely (verify-skill gotcha;
+                # VERDICT round-2 weak #1)
+                c = c + jnp.sum(out0.astype(jnp.float32)) * 1e-20
             return c
         return jax.jit(run)
 

@@ -190,7 +190,8 @@ def cmd_fps(args):
     runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 1024, 2048, 3),
                           jnp.bfloat16)
-    ms = slope_time_ms(lambda v, im: runner.logits(v, im), variables, x)
+    # slope_time_ms applies the anti-DCE carry to args[0] (the image)
+    ms = slope_time_ms(lambda im, v: runner.logits(v, im), (x, variables))
     row = {"lasts": [int(l) for l in lasts],
            "lut_est_ms": round(float(est_ms), 3),
            "lut_est_fps": round(1000.0 / est_ms, 1),
