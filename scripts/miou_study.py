@@ -335,9 +335,11 @@ def cmd_report(args):
         lines.append("**Headline:** " + "; ".join(
             f"{side}/{stage} final val mIoU {v:.4f}"
             for (side, stage), v in sorted(fin.items())) +
-            ". Teacher parity vs the reference code at equal steps is "
-            "within ~0.02 mIoU (table below); the full TPU recipe "
-            "(teacher -> KL-distilled student) improves monotonically to "
+            ". Teacher AND distilled-student parity vs the reference "
+            "code at equal steps is within ~0.02-0.03 mIoU with "
+            "alternating sign (tables below — epoch-level noise, no "
+            "systematic gap); the full TPU recipe (teacher -> "
+            "KL-distilled student) improves monotonically to "
             "convergence.")
         lines.append("")
     lines.append("Protocol: scripts/miou_study.py — shared deterministic "
