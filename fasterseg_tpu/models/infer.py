@@ -15,8 +15,8 @@ import jax.numpy as jnp
 
 from ..core.plan import NetworkPlan
 from ..pallas.conv import (conv3x3_bn_relu_planar, conv3x3s2_bn_relu_s2d,
-                           fold_bn, nhwc_to_planar, planar_to_nhwc,
-                           space_to_depth_planar)
+                           fold_bn, nhwc_to_planar, planar_space_to_depth,
+                           planar_to_nhwc, space_to_depth_planar)
 from ..pallas.fused import upsample8_argmax
 from .derived import DerivedNet
 
@@ -35,11 +35,14 @@ def fast_stem(stem_params, stem_stats, x: jax.Array,
     derived.Stem) via the fused planar kernels. x: (1, H, W, 3) ->
     (1, H/8, W/8, C_stem) NHWC.
 
-    Entry conv: space-to-depth formulation — the s2d layout is built by
-    free reshapes around one minor-dim transpose (~0.03 ms, see
-    space_to_depth_planar) and the 2x2-tap kernel then runs the 3->C
-    stride-2 conv ~4x faster than the direct planar path (0.16 vs
-    0.53 ms measured end-to-end at 1024x2048)."""
+    Every stride-2 conv runs in space-to-depth formulation: the s2d
+    layout is built by free views around one minor-dim transpose
+    (space_to_depth_planar for the NHWC entry, planar_space_to_depth for
+    the chained planar stages) and the 2x2-tap kernel runs the stride-2
+    conv as a stride-1 stencil. This removes both the 16/3 sublane
+    padding waste of the 3-channel entry (0.16 vs 0.53 ms measured at
+    1024x2048) and the gather-lowered stride-2 lane slices the direct
+    kernels' pre-shifted planes need (conv1/conv3: 0.33/0.15 ms)."""
     k, s, b = _conv_bn(stem_params["stage0"], stem_stats["stage0"],
                        "Conv_0", "BatchNorm_0")
     y = conv3x3s2_bn_relu_s2d(space_to_depth_planar(x.astype(dtype), 3),
@@ -47,7 +50,8 @@ def fast_stem(stem_params, stem_stats, x: jax.Array,
     for stage in ("stage1", "stage2"):
         k, s, b = _conv_bn(stem_params[stage], stem_stats[stage],
                            "Conv_0", "BatchNorm_0")
-        y = conv3x3_bn_relu_planar(y, k.astype(dtype), s, b, stride=2)
+        y = conv3x3s2_bn_relu_s2d(planar_space_to_depth(y),
+                                  k.astype(dtype), s, b, packing="planar")
         k, s, b = _conv_bn(stem_params[stage], stem_stats[stage],
                            "Conv_1", "BatchNorm_1")
         y = conv3x3_bn_relu_planar(y, k.astype(dtype), s, b, stride=1)

@@ -218,6 +218,39 @@ def space_to_depth_planar(x: jax.Array, c: int) -> jax.Array:
     return jnp.pad(y, ((0, 0), (0, cp - 4 * c), (0, 0)))
 
 
+def planar_space_to_depth(x: jax.Array) -> jax.Array:
+    """Planar (H, Cp, W) -> s2d planar (H/2, 4Cp, W/2) with channel
+    blocks packed (ry, c, rx): index = ry*2Cp + c*2 + rx.
+
+    Same trick as space_to_depth_planar but starting from the planar
+    layout the stem chains in: ONE minor-dim transpose ((H, Cp, W/2, 2)
+    -> (H, Cp, 2, W/2), never crossing the major dims) surrounded by
+    free row-major views. This removes the gather-lowered stride-2 lane
+    slices the direct stride-2 kernel needs for its pre-shifted planes —
+    the dominant cost of the stem's 32->64 and 64->64 stride-2 convs
+    (measured 0.33/0.15 ms at 1024x2048 input, ~5x off roofline).
+    Padded channel lanes stay zero (they interleave into the packing and
+    the matching weight rows are zero)."""
+    H, cp, W = x.shape
+    t = jnp.transpose(x.reshape(H, cp, W // 2, 2), (0, 1, 3, 2))
+    return t.reshape(H // 2, 4 * cp, W // 2)
+
+
+def _w_s2d_planar(w: jax.Array, cp: int) -> jax.Array:
+    """(3,3,Ci,Co) HWIO -> (2,2,4Cp,Co) for planar_space_to_depth's
+    (ry, c, rx) channel packing (cp = padded planar channel count,
+    Ci <= cp; rows for padding channels are zero). Tap map as _w_s2d."""
+    ci, co = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((2, 2, 2, cp, 2, co), w.dtype)  # (dy',dx',ry,c,rx)
+    kmap = {0: (0, 1), 1: (1, 0), 2: (1, 1)}       # k -> (d', r)
+    for ky in range(3):
+        dy, ry = kmap[ky]
+        for kx in range(3):
+            dx, rx = kmap[kx]
+            w2 = w2.at[dy, dx, ry, :ci, rx].set(w[ky, kx])
+    return w2.reshape(2, 2, 4 * cp, co)
+
+
 def _w_s2d(w: jax.Array) -> jax.Array:
     """(3,3,Ci,Co) HWIO -> (2,2,4Ci,Co): the 3x3/stride-2 kernel expressed
     over 2x2 space-to-depth cell taps. Output pixel (i,j) reads original
@@ -237,15 +270,19 @@ def _w_s2d(w: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("relu", "tile_rows", "interpret"))
+                   static_argnames=("relu", "tile_rows", "interpret",
+                                    "packing"))
 def conv3x3s2_bn_relu_s2d(x: jax.Array, w: jax.Array, scale: jax.Array,
                           bias: jax.Array, relu: bool = True,
                           tile_rows: Optional[int] = None,
-                          interpret: Optional[bool] = None) -> jax.Array:
+                          interpret: Optional[bool] = None,
+                          packing: str = "cell") -> jax.Array:
     """3x3 stride-2 conv + folded BN + ReLU via space-to-depth.
 
-    x: s2d planar (Ho, 4Ci_padded, Wo) from space_to_depth_planar (padding
-    lanes must be zero); w: (3,3,Ci,Co) HWIO. Returns (Ho, Co_padded, Wo).
+    x: s2d planar (Ho, 4Ci_padded, Wo) from space_to_depth_planar
+    (packing="cell", (ry, rx, c) blocks) or planar_space_to_depth
+    (packing="planar", (ry, c, rx) blocks); padding lanes must be zero.
+    w: (3,3,Ci,Co) HWIO. Returns (Ho, Co_padded, Wo).
 
     Why: the direct stride-2 kernel reads 3 pre-shifted full-resolution
     planes (fatal for the 3-channel stem conv: 16/3 sublane padding on
@@ -263,8 +300,13 @@ def conv3x3s2_bn_relu_s2d(x: jax.Array, w: jax.Array, scale: jax.Array,
     while ho % tile_rows:
         tile_rows -= 1
 
-    w2 = _w_s2d(w)                                  # (2, 2, 4Ci, Co)
-    wp = jnp.zeros((2, 2, cip4, cop), w.dtype).at[:, :, :4 * ci, :co].set(w2)
+    if packing == "planar":
+        wp = _w_s2d_planar(w, cip4 // 4)            # (2, 2, 4Cp, Co pad)
+        wp = jnp.zeros((2, 2, cip4, cop), w.dtype).at[:, :, :, :co].set(wp)
+    else:
+        w2 = _w_s2d(w)                              # (2, 2, 4Ci, Co)
+        wp = jnp.zeros((2, 2, cip4, cop),
+                       w.dtype).at[:, :, :4 * ci, :co].set(w2)
     # rows of the per-pixel patch stack as (dy(, plane dx), channel)
     wmat = wp.transpose(3, 0, 1, 2).reshape(cop, 4 * cip4).astype(x.dtype)
     sb = jnp.zeros((cop, 2), jnp.float32)

@@ -83,3 +83,28 @@ def test_s2d_conv_matches_reference(H, W, ci, co):
     np.testing.assert_allclose(
         np.asarray(jnp.transpose(got[:, :co], (0, 2, 1))[None]),
         np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("H,W,ci,co", [
+    (32, 64, 32, 64),   # stem stage1 conv0 geometry (no channel padding)
+    (16, 32, 8, 16),    # padded planar channels (cp=16 > ci=8)
+])
+def test_planar_s2d_conv_matches_reference(H, W, ci, co):
+    """planar_space_to_depth + packing='planar' s2d conv == the plain
+    stride-2 conv on the same NHWC input, elementwise — including when
+    the planar input carries zero padding lanes (ci < cp)."""
+    from fasterseg_tpu.pallas.conv import (conv3x3s2_bn_relu_s2d,
+                                           planar_space_to_depth)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, H, W, ci)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, ci, co)) * 0.2, jnp.float32)
+    s = jnp.asarray(rng.normal(size=(co,)) * 0.5 + 1, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(co,)) * 0.1, jnp.float32)
+    ref = conv3x3_bn_relu_reference(x, w, s, b, stride=2)
+    xp = nhwc_to_planar(x)                     # (H, cp, W), cp >= ci
+    got = conv3x3s2_bn_relu_s2d(planar_space_to_depth(xp), w, s, b,
+                                packing="planar", interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(planar_to_nhwc(got, co)), np.asarray(ref),
+        atol=1e-4, rtol=1e-4)
+    assert np.all(np.asarray(got)[:, co:, :] == 0)
