@@ -23,6 +23,12 @@ def main(argv=None):
     p.add_argument("--scales", type=float, nargs="+", default=[1.0])
     p.add_argument("--flip", action="store_true")
     p.add_argument("--max-items", type=int, default=None)
+    p.add_argument("--devices", type=int, default=None, metavar="N",
+                   help="evaluate over an N-device mesh (default: 1)")
+    p.add_argument("--spatial", action="store_true",
+                   help="partition each image over H across the mesh "
+                        "(batch-1 full-res; SURVEY.md §5.7) instead of "
+                        "sharding the batch")
     args = p.parse_args(argv)
 
     from ..utils.logging import enable_compilation_cache
@@ -57,7 +63,13 @@ def main(argv=None):
                                   cfg.data.train_source),
         eval_source=os.path.join(args.data_root, cfg.data.eval_source))
     val = Cityscapes(setting, "val")
-    res = session.evaluate(val, max_items=args.max_items)
+    mesh = None
+    if args.devices:
+        from ..parallel import SPATIAL_AXIS, make_mesh
+        mesh = make_mesh(args.devices, axis_names=(
+            (SPATIAL_AXIS,) if args.spatial else ("data",)))
+    res = session.evaluate(val, max_items=args.max_items, mesh=mesh,
+                           spatial=args.spatial)
     print(print_iou(res.iou_per_class, res.pixel_acc,
                     Cityscapes.class_names))
     return res

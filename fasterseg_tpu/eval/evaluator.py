@@ -47,7 +47,7 @@ class Evaluator:
     def __init__(self, dataset, num_classes: int, image_mean, image_std,
                  forward_fn: Callable, eval_scales: Sequence[float] = (1.0,),
                  eval_flip: bool = False, batch_size: int = 1,
-                 mesh=None, ignore_label: int = 255):
+                 mesh=None, spatial: bool = False, ignore_label: int = 255):
         self.dataset = dataset
         self.num_classes = num_classes
         self.image_mean = image_mean
@@ -56,9 +56,23 @@ class Evaluator:
         self.eval_flip = eval_flip
         self.batch_size = batch_size
         self.mesh = mesh
+        # spatial=True partitions images over H instead of the batch dim —
+        # the CNN analog of context parallelism (SURVEY.md §5.7) for
+        # batch-1 full-resolution eval when one chip's HBM won't hold the
+        # 1024x2048 activations; XLA SPMD inserts the 3x3-conv halo
+        # exchanges. Requires a mesh.
+        self.spatial = spatial
         self.ignore_label = ignore_label
         self._jit_cache = {}
         self.forward_fn = forward_fn
+
+    def _input_sharding(self):
+        """NamedSharding for (N,H,W,...) eval inputs under the mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        ax = self.mesh.axis_names[0]
+        spec = (PartitionSpec(None, ax) if self.spatial
+                else PartitionSpec(ax))
+        return NamedSharding(self.mesh, spec)
 
     # ---- device programs ----
 
@@ -145,9 +159,7 @@ class Evaluator:
                 for im in imgs])
             batch = jnp.asarray(batch)
             if self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec
-                batch = jax.device_put(batch, NamedSharding(
-                    self.mesh, PartitionSpec(self.mesh.axis_names[0])))
+                batch = jax.device_put(batch, self._input_sharding())
             p = np.asarray(self._probs_fn((sh, sw))(variables, batch))
             if scale != 1.0:
                 p = np.stack([_resize(pi, (W, H), nearest=False) for pi in p])
@@ -162,9 +174,11 @@ class Evaluator:
         n_total = min(len(self.dataset), max_items or len(self.dataset))
         batch = self.batch_size
         if self.mesh is not None:
-            n_dev = self.mesh.devices.size
-            batch = max(batch, n_dev) // n_dev * n_dev
             from jax.sharding import NamedSharding, PartitionSpec
+            if not self.spatial:
+                # data-parallel: round the batch up to a device multiple
+                n_dev = self.mesh.devices.size
+                batch = max(batch, n_dev) // n_dev * n_dev
             variables = jax.device_put(
                 variables, NamedSharding(self.mesh, PartitionSpec()))
         hist = np.zeros((self.num_classes, self.num_classes), np.int64)
@@ -188,9 +202,7 @@ class Evaluator:
                 xb = jnp.asarray(imgs.astype(np.uint8))
                 lb = jnp.asarray(labels)
                 if self.mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec
-                    sh = NamedSharding(self.mesh,
-                                       PartitionSpec(self.mesh.axis_names[0]))
+                    sh = self._input_sharding()
                     xb = jax.device_put(xb, sh)
                     lb = jax.device_put(lb, sh)
                 h, c, l = self._fused_eval_fn(imgs.shape[1:3])(

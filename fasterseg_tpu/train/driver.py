@@ -181,7 +181,11 @@ class TrainSession:
         return {"params": self.state.params,
                 "batch_stats": self.state.batch_stats}
 
-    def evaluate(self, val_dataset, max_items=None):
+    def evaluate(self, val_dataset, max_items=None, mesh=None,
+                 spatial: bool = False):
+        """`mesh` overrides the session mesh for eval only; `spatial=True`
+        H-partitions each image across it (batch-1 full-res protocol,
+        SURVEY.md §5.7) instead of sharding the batch."""
         model = self.models[self.student_idx]
 
         def fwd(variables, images):
@@ -191,7 +195,8 @@ class TrainSession:
                        self.config.data.image_std, fwd,
                        eval_scales=self.config.eval.eval_scale_array,
                        eval_flip=self.config.eval.eval_flip,
-                       mesh=self.mesh)
+                       mesh=self.mesh if mesh is None else mesh,
+                       spatial=spatial)
         return ev.run(self.student_variables(), max_items=max_items)
 
     def save(self, save_dir: str, epoch: Optional[int] = None):

@@ -132,11 +132,16 @@ def cmd_train(args):
         tpath = os.path.join(OUT, "teacher_ckpt")
         assert os.path.exists(tpath), "run `train --stage teacher` first"
         session.load_teacher_weights(tpath)
+    sdir = os.path.join(OUT, f"train_{args.stage}")
+    start = session.restore(sdir)  # resumable: tunnel drops mid-chain
+    if start:
+        print(f"resumed {args.stage} at epoch {start}", flush=True)
     val = _val_dataset()
     loader = get_train_loader(cfg, make_dataset_cls())
     niters = cfg.niters_per_epoch
-    rows, t0 = [], time.time()
-    for epoch in range(args.epochs):
+    os.makedirs(OUT, exist_ok=True)
+    last_miou, t0 = None, time.time()
+    for epoch in range(start, args.epochs):
         stats = session.train_epoch(loader, epoch, niters)
         res = session.evaluate(val)
         row = {"stage": args.stage, "epoch": epoch,
@@ -144,17 +149,17 @@ def cmd_train(args):
                "val_mIoU": float(res.mean_iu),
                "wall_s": round(time.time() - t0, 1),
                "backend": jax.default_backend()}
-        rows.append(row)
+        last_miou = row["val_mIoU"]
         print(row, flush=True)
+        with open(os.path.join(OUT, f"train_{args.stage}.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+        session.save(sdir, epoch)
     loader.close()
-    os.makedirs(OUT, exist_ok=True)
-    with open(os.path.join(OUT, f"train_{args.stage}.jsonl"), "a") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
     if args.stage == "teacher":
         save_pytree(os.path.join(OUT, "teacher_ckpt"),
                     session.student_variables())
-    print(f"done: final val mIoU {rows[-1]['val_mIoU']:.4f}")
+    if last_miou is not None:
+        print(f"done: final val mIoU {last_miou:.4f}")
 
 
 def _searched_student_plan(input_hw=(1024, 2048)):

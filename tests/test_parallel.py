@@ -100,6 +100,36 @@ def test_evaluator_mesh_matches_single_device():
     assert single.pixel_acc == sharded.pixel_acc
 
 
+def test_evaluator_spatial_matches_single_device():
+    """Evaluator(spatial=True): each image H-partitioned across the mesh
+    (batch-1 full-res protocol, SURVEY.md §5.7 — the CNN analog of
+    context parallelism). XLA SPMD inserts the conv halo exchanges; the
+    histogram must equal the single-device protocol exactly."""
+    from fasterseg_tpu.data import SyntheticDataset
+    from fasterseg_tpu.eval.evaluator import Evaluator
+
+    ds = SyntheticDataset(length=3, hw=(64, 32), num_classes=5, seed=11)
+    w = jax.random.normal(jax.random.PRNGKey(4), (3, 3, 3, 5)) * 0.3
+
+    def fwd(variables, images):
+        return jax.lax.conv_general_dilated(
+            images, variables["w"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    kw = dict(num_classes=5, image_mean=(0.5, 0.5, 0.5),
+              image_std=(0.25, 0.25, 0.25), forward_fn=fwd, eval_flip=True)
+    single = Evaluator(ds, **kw).run({"w": w})
+    mesh = make_mesh(8, axis_names=(SPATIAL_AXIS,))
+    spatial = Evaluator(ds, mesh=mesh, spatial=True, **kw).run({"w": w})
+    np.testing.assert_array_equal(single.hist, spatial.hist)
+    assert single.mean_iu == spatial.mean_iu
+    # multi-scale (host-accumulate) path under spatial sharding
+    kw2 = dict(kw, eval_scales=(1.0, 1.0))
+    single2 = Evaluator(ds, **kw2).run({"w": w})
+    spatial2 = Evaluator(ds, mesh=mesh, spatial=True, **kw2).run({"w": w})
+    np.testing.assert_array_equal(single2.hist, spatial2.hist)
+
+
 def test_evaluator_fused_matches_host_path():
     """The fused on-device tail (normalize+forward+argmax+hist in one
     program, scales=(1.0,)) must match the host accumulate path exactly.
