@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data.preprocess import eval_preprocess, pad_image_to_shape, _resize
+from ..ops.resize import resize_bilinear_halfpixel
 from .metrics import compute_score, confusion_hist
 
 
@@ -95,6 +96,28 @@ class Evaluator:
         self._jit_cache[shape_key] = fn
         return fn
 
+    def _probs_fullres_fn(self, shape_key, out_hw):
+        """jitted: images (at a scaled size) -> probabilities resized to
+        full resolution ON DEVICE. The multi-scale protocol's
+        probability maps (H,W,19 f32 — ~160 MB/image at 1024x2048) then
+        never cross to host; the resize uses cv2.INTER_LINEAR-exact
+        half-pixel sampling (ops/resize.py), so the protocol is
+        unchanged (evaluator.py:219's cv2 resize)."""
+        key = ("probs_fr", shape_key, out_hw)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        probs = self._probs_fn(shape_key)
+
+        def fullres(variables, images):
+            p = probs(variables, images)
+            if p.shape[1:3] != tuple(out_hw):
+                p = resize_bilinear_halfpixel(p, tuple(out_hw))
+            return p
+
+        fn = jax.jit(fullres)
+        self._jit_cache[key] = fn
+        return fn
+
     def _hist_fn(self):
         if "hist" in self._jit_cache:
             return self._jit_cache["hist"]
@@ -147,9 +170,15 @@ class Evaluator:
     # ---- host protocol ----
 
     def _predict_whole(self, variables, imgs: np.ndarray) -> np.ndarray:
-        """Multi-scale whole-image prediction -> class map (N,H,W)."""
+        """Multi-scale whole-image prediction -> class map (N,H,W).
+
+        Per scale: host cv2 input resize (tiny uint8), then one jitted
+        program producing full-resolution probabilities on device; the
+        accumulate and argmax stay on device too, so only the int32
+        class map is fetched (the reference hauls every scale's
+        probability map through cv2 on host, evaluator.py:219)."""
         n, H, W = imgs.shape[0], imgs.shape[1], imgs.shape[2]
-        acc = np.zeros((n, H, W, self.num_classes), np.float32)
+        acc = None
         for scale in self.eval_scales:
             sh, sw = int(H * scale), int(W * scale)
             batch = np.stack([
@@ -160,11 +189,9 @@ class Evaluator:
             batch = jnp.asarray(batch)
             if self.mesh is not None:
                 batch = jax.device_put(batch, self._input_sharding())
-            p = np.asarray(self._probs_fn((sh, sw))(variables, batch))
-            if scale != 1.0:
-                p = np.stack([_resize(pi, (W, H), nearest=False) for pi in p])
-            acc += p
-        return np.argmax(acc, axis=-1).astype(np.int32)
+            p = self._probs_fullres_fn((sh, sw), (H, W))(variables, batch)
+            acc = p if acc is None else acc + p
+        return np.asarray(jnp.argmax(acc, axis=-1).astype(jnp.int32))
 
     def run(self, variables, max_items: Optional[int] = None) -> EvalResult:
         """Whole-image eval over the dataset. With a mesh, each batch is

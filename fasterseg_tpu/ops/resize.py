@@ -93,6 +93,47 @@ def downsample_half(x: jax.Array) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
+def _hp_interp_matrix_np(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) half-pixel bilinear matrix — cv2.INTER_LINEAR semantics
+    (src = (i+0.5)*in/out - 0.5, edge-clamped 2-tap), the sampling the
+    eval protocol's probability resizes use on host
+    (data/preprocess._resize, evaluator.py:219). Matches cv2's float32
+    path bit-for-bit up to fma ordering (tests/test_ops.py)."""
+    src = (np.arange(out_size, dtype=np.float64) + 0.5) * (
+        in_size / out_size) - 0.5
+    lo = np.floor(src).astype(np.int64)
+    t = (src - lo).astype(np.float32)
+    lo_c = np.clip(lo, 0, in_size - 1)
+    hi_c = np.clip(lo + 1, 0, in_size - 1)
+    m = np.zeros((out_size, in_size), np.float32)
+    np.add.at(m, (np.arange(out_size), lo_c), 1.0 - t)
+    np.add.at(m, (np.arange(out_size), hi_c), t)
+    return m
+
+
+def _hp_interp_axis(x: jax.Array, out_size: int, axis: int) -> jax.Array:
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    m = jnp.asarray(_hp_interp_matrix_np(in_size, out_size), x.dtype)
+    moved = jnp.moveaxis(x, axis, -1)
+    out = jnp.einsum("oi,...i->...o", m, moved,
+                     preferred_element_type=x.dtype)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def resize_bilinear_halfpixel(x: jax.Array,
+                              out_hw: Tuple[int, int]) -> jax.Array:
+    """cv2.INTER_LINEAR-equivalent resize of an NHWC (or HWC) tensor —
+    the on-device replacement for the eval protocol's host-side
+    probability-map resizes."""
+    h_axis = x.ndim - 3
+    x = _hp_interp_axis(x, out_hw[0], h_axis)
+    x = _hp_interp_axis(x, out_hw[1], h_axis + 1)
+    return x
+
+
+@functools.lru_cache(maxsize=None)
 def _nearest_coords(in_size: int, out_size: int) -> np.ndarray:
     """PyTorch `mode='nearest'` index map: src = floor(i * in/out)."""
     return np.minimum(

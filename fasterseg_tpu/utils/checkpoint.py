@@ -32,7 +32,25 @@ def save_pytree(path: str, tree: Any):
 def load_pytree(path: str, target: Any = None) -> Any:
     import orbax.checkpoint as ocp
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.abspath(path), target)
+    try:
+        return ckptr.restore(os.path.abspath(path), target)
+    except ValueError as e:
+        if "not found in jax.local_devices" not in str(e):
+            raise
+        # Checkpoint written on a device this process doesn't have (e.g.
+        # a TPU-trained ckpt opened on the CPU mesh): restore every leaf
+        # as host numpy instead of onto the recorded sharding.
+        path = os.path.abspath(path)
+        with ocp.PyTreeCheckpointer() as ptc:
+            meta = ptc.metadata(path).item_metadata.tree
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta)
+            out = ptc.restore(path, restore_args=restore_args)
+        if target is not None:
+            return jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(target),
+                jax.tree_util.tree_leaves(out))
+        return out
 
 
 def save_npz_tree(path: str, tree: Any):

@@ -1,13 +1,28 @@
 #!/bin/bash
 # Chained end-to-end self-search pipeline (scripts/self_search.py).
 # Each stage resumes where it left off; logs to /tmp/selfsearch_chain.log.
+# Stages are time-boxed to end before DEADLINE (epoch seconds) so a
+# round-end bench run never contends with a training stage; a timed-out
+# stage resumes next launch.
+DEADLINE=${DEADLINE:-1787013493}
 set -x
 cd /root/repo
 P=python
-$P scripts/self_search.py pretrain --epochs 20   || exit 1
-$P scripts/self_search.py search   --epochs 30   || exit 2
-$P scripts/self_search.py train --stage teacher --epochs 40 || exit 3
-$P scripts/self_search.py train --stage student --epochs 40 || exit 4
-$P scripts/self_search.py fps                     || exit 5
-$P scripts/self_search.py report                  || exit 6
+
+run_stage() {
+  NOW=$(date +%s)
+  BUDGET=$((DEADLINE - 600 - NOW))
+  if [ $BUDGET -le 60 ]; then
+    echo "DEADLINE reached — stopping before: $*"
+    exit 9
+  fi
+  timeout $BUDGET $P scripts/self_search.py "$@"
+}
+
+run_stage pretrain --epochs 20             || exit 1
+run_stage search   --epochs 30             || exit 2
+run_stage train --stage teacher --epochs 40 || exit 3
+run_stage train --stage student --epochs 40 || exit 4
+run_stage fps                               || exit 5
+run_stage report                            || exit 6
 echo "SELF_SEARCH_CHAIN_DONE"

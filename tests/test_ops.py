@@ -40,6 +40,26 @@ def test_bilinear_align_corners_matches_torch(rng, in_hw, out_hw):
 
 
 @pytest.mark.parametrize("in_hw,out_hw", [
+    ((16, 32), (32, 64)),     # x2 up
+    ((32, 64), (16, 32)),     # /2 down
+    ((28, 28), (40, 40)),     # arbitrary up
+    ((20, 40), (16, 32)),     # arbitrary down
+    ((17, 33), (20, 41)),     # odd
+])
+def test_halfpixel_bilinear_matches_cv2(rng, in_hw, out_hw):
+    """resize_bilinear_halfpixel == cv2.INTER_LINEAR (the eval
+    protocol's probability-resize semantics, evaluator.py:219) — the
+    guarantee behind the on-device multi-scale accumulate."""
+    import cv2
+    from fasterseg_tpu.ops.resize import resize_bilinear_halfpixel
+    x = rng.random((*in_hw, 7)).astype(np.float32)
+    want = cv2.resize(x, (out_hw[1], out_hw[0]),
+                      interpolation=cv2.INTER_LINEAR)
+    got = np.asarray(resize_bilinear_halfpixel(jnp.asarray(x), out_hw))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("in_hw,out_hw", [
     ((16, 32), (8, 16)),
     ((16, 32), (32, 64)),
     ((10, 14), (7, 9)),

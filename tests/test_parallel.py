@@ -130,6 +130,52 @@ def test_evaluator_spatial_matches_single_device():
     np.testing.assert_array_equal(single2.hist, spatial2.hist)
 
 
+def test_multiscale_device_accumulate_matches_host_reference():
+    """The on-device multi-scale path (probabilities resized to full res
+    and accumulated on device, only the class map fetched) must match a
+    host reference that resizes every scale's probability map with cv2 —
+    the reference protocol (evaluator.py:219)."""
+    import cv2
+    from fasterseg_tpu.data import SyntheticDataset
+    from fasterseg_tpu.data.preprocess import eval_preprocess, _resize
+    from fasterseg_tpu.eval.evaluator import Evaluator
+
+    ds = SyntheticDataset(length=4, hw=(32, 64), num_classes=5, seed=5)
+    w = jax.random.normal(jax.random.PRNGKey(6), (3, 3, 3, 5)) * 0.3
+    mean, std = (0.5, 0.5, 0.5), (0.25, 0.25, 0.25)
+
+    def fwd(variables, images):
+        return jax.lax.conv_general_dilated(
+            images, variables["w"], (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    scales = (0.75, 1.0, 1.25)
+    ev = Evaluator(ds, num_classes=5, image_mean=mean, image_std=std,
+                   forward_fn=fwd, eval_scales=scales, eval_flip=True)
+    imgs = np.stack([ds[i]["data"] for i in range(4)])
+    got = ev._predict_whole({"w": w}, imgs)
+
+    # host reference: per scale, fetch probs and cv2-resize to full res
+    H, W = imgs.shape[1:3]
+    acc = np.zeros((4, H, W, 5), np.float32)
+    for s in scales:
+        sh, sw = int(H * s), int(W * s)
+        batch = np.stack([
+            eval_preprocess(
+                _resize(im, (sw, sh), nearest=False) if s != 1.0 else im,
+                mean, std) for im in imgs])
+        p = np.asarray(ev._probs_fn((sh, sw))({"w": w}, jnp.asarray(batch)))
+        if s != 1.0:
+            p = np.stack([cv2.resize(pi, (W, H),
+                                     interpolation=cv2.INTER_LINEAR)
+                          for pi in p])
+        acc += p
+    want = np.argmax(acc, -1).astype(np.int32)
+    # fma-ordering differences (~1e-5 in probs) may flip genuine ties;
+    # with random conv outputs, demand pixel agreement, not bit equality
+    assert (got == want).mean() > 0.999, (got != want).sum()
+
+
 def test_evaluator_fused_matches_host_path():
     """The fused on-device tail (normalize+forward+argmax+hist in one
     program, scales=(1.0,)) must match the host accumulate path exactly.

@@ -28,10 +28,18 @@ def test_quantize_roundtrip_and_sizes():
             jax.tree_util.tree_leaves(deq)):
         a = np.asarray(a, np.float32)
         b = np.asarray(b, np.float32)
-        if a.ndim == 4:  # conv kernel: within half a quantization step
+        if a.ndim == 4 and a.shape[2] != 3:
+            # conv kernel under the MSE-optimal per-channel clip: its
+            # reconstruction error can exceed half a raw-absmax step on
+            # clipped outliers, but per channel it must be at least as
+            # good (in MSE) as the plain absmax/127 quantizer
             step = np.abs(a).max(axis=(0, 1, 2), keepdims=True) / 127.0
-            assert np.all(np.abs(a - b) <= 0.5 * step + 1e-8), pa
-        else:
+            step = np.where(step > 0, step, 1.0)
+            plain = (np.clip(np.round(a / step), -127, 127) * step - a)
+            mse_plain = (plain ** 2).sum(axis=(0, 1, 2))
+            mse_ours = ((b - a) ** 2).sum(axis=(0, 1, 2))
+            assert np.all(mse_ours <= mse_plain + 1e-10), pa
+        else:  # passthrough leaves (incl. the exempt image-entry conv)
             np.testing.assert_array_equal(a, b)
 
 
