@@ -29,6 +29,9 @@ def main(argv=None):
                    help="partition each image over H across the mesh "
                         "(batch-1 full-res; SURVEY.md §5.7) instead of "
                         "sharding the batch")
+    p.add_argument("--show-dir", default=None, metavar="DIR",
+                   help="also write [image|gt|pred] overlay PNGs for the "
+                        "evaluated images (train/eval.py:43-50)")
     args = p.parse_args(argv)
 
     from ..utils.logging import enable_compilation_cache
@@ -72,6 +75,31 @@ def main(argv=None):
                            spatial=args.spatial)
     print(print_iou(res.iou_per_class, res.pixel_acc,
                     Cityscapes.class_names))
+
+    if args.show_dir:
+        import cv2
+        import numpy as np
+        import jax
+        import jax.numpy as jnp
+        from ..data.preprocess import eval_preprocess
+        from ..utils.visualize import show_img
+
+        os.makedirs(args.show_dir, exist_ok=True)
+        model = session.models[session.student_idx]
+        variables = session.student_variables()
+        predict = jax.jit(lambda v, x: jnp.argmax(
+            model.apply(v, x, train=False), -1))
+        n = min(len(val), args.max_items or len(val))
+        for i in range(n):
+            s = val[i]
+            x = eval_preprocess(s["data"], cfg.data.image_mean,
+                                cfg.data.image_std)
+            pred = np.asarray(predict(variables, x[None]))[0]
+            panel = show_img(s["data"].astype(np.uint8),
+                             s["label"].astype(np.int32), pred,
+                             Cityscapes.colors)
+            name = os.path.splitext(os.path.basename(s["fn"]))[0] + ".png"
+            cv2.imwrite(os.path.join(args.show_dir, name), panel[..., ::-1])
     return res
 
 

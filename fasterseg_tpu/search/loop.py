@@ -39,7 +39,6 @@ from ..core.config import SearchConfig
 from ..core.genotype import ArchParams, decode_network
 from ..core.plan import build_plan
 from ..data import SyntheticDataset, get_train_loader
-from ..eval.evaluator import Evaluator
 from ..latency import (LatencyLUT, TpuCostModel, build_supernet_tables,
                        derived_latency_ms, stem_latency_ms)
 from ..models.supernet import ArchParamsPytree, Supernet, init_supernet

@@ -19,6 +19,9 @@ timeout 900 python -m fasterseg_tpu.cli.profile | tee artifacts/profile_1024.jso
 # 3. int8 acceptance on the TPU path (fused heads, trained ckpt)
 timeout 900 python scripts/int8_check.py | tee artifacts/int8_tpu.json
 
+# 3b. body-layout probe: measured data for the cell-body fusion decision
+timeout 900 python scripts/probe_body_layouts.py | tee artifacts/body_probe_log.json
+
 # 4. long chain only with >50 min of round left; every stage resumes
 NOW=$(date +%s)
 if [ $((DEADLINE - NOW)) -gt 3000 ]; then
