@@ -38,6 +38,15 @@ def main(argv=None):
                    help="data-parallel SPMD over the first N devices "
                         "(params replicated, batches sharded over ICI); "
                         "global batch must divide by N")
+    p.add_argument("--fps-band", default=None, metavar="AUTO|MIN,MAX",
+                   help="student FPS band for the latency-weight "
+                        "controller. Default keeps the reference's "
+                        "[155,175] (GPU-scale constants, "
+                        "config_search.py:85-86). 'auto' re-derives the "
+                        "band on THIS LUT's calibrated estimator scale: "
+                        "the reference's relative band around the "
+                        "shipped student's operating point "
+                        "(latency/derived.py tpu_fps_band)")
     args = p.parse_args(argv)
 
     from ..utils.logging import enable_compilation_cache
@@ -77,6 +86,15 @@ def main(argv=None):
     logger.info("config: %s", cfg)
 
     lut = LatencyLUT(args.lut, provider=TpuCostModel().provider)
+    if args.fps_band:
+        if args.fps_band.lower() == "auto":
+            from ..latency.derived import tpu_fps_band
+            from ..models import student_plan
+            lo, hi = tpu_fps_band(lut, student_plan())
+        else:
+            lo, hi = (float(v) for v in args.fps_band.split(","))
+        cfg = dataclasses.replace(cfg, fps_min=(0.0, lo), fps_max=(0.0, hi))
+        logger.info("student FPS band: [%.1f, %.1f]", lo, hi)
     val_dataset = None
     if not args.synthetic and args.data_root:
         setting = DataSetting(

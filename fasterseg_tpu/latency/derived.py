@@ -33,8 +33,16 @@ def stem_latency(lut: LatencyLUT, plan: NetworkPlan,
 
 
 def derived_latency_ms(lut: LatencyLUT, plan: NetworkPlan,
-                       input_hw: Tuple[int, int] = (1024, 2048)) -> float:
-    """Total estimated ms for one eval-mode forward at input_hw."""
+                       input_hw: Tuple[int, int] = (1024, 2048),
+                       calibrate: bool = True) -> float:
+    """Total estimated ms for one eval-mode forward at input_hw.
+
+    With calibrate=True (default) the per-op sum is multiplied by the
+    LUT's fusion-correction factor (see LatencyLUT.fusion_factor /
+    scripts/calibrate_latency.py) so the estimate tracks measured
+    end-to-end latency of the XLA-compiled net, not the sum of isolated
+    op timings. Reference-imported GPU tables carry no factor (1.0), so
+    golden walks over the shipped npy are unaffected."""
     H, W = input_hw
     total = stem_latency(lut, plan, input_hw)
     hw = plan.head_width()
@@ -65,9 +73,29 @@ def derived_latency_ms(lut: LatencyLUT, plan: NetworkPlan,
             h8, w8, nf(8, hw) + plan.ch_8_1, nf(8, hw), 3, 1))
     total += lut.get(ffm_key(h8, w8, plan.ffm_channels))
     total += lut.get(head_key(h8, w8, plan.heads8_in, plan.num_classes))
+    if calibrate:
+        total *= lut.fusion_factor
     return float(total)
 
 
 def fps_of(lut: LatencyLUT, plan: NetworkPlan,
            input_hw: Tuple[int, int] = (1024, 2048)) -> float:
     return 1000.0 / derived_latency_ms(lut, plan, input_hw)
+
+
+# The reference constrains its student to [155, 175] FPS around its
+# shipped genotype's 159.7 LUT-FPS operating point (config_search.py:85-86
+# vs arch_0.pt latency02=6.26 ms) — i.e. a RELATIVE band of roughly
+# [-3%, +10%] on the same estimator scale the controller reads. Keeping
+# the band relative makes the controller invariant to estimator bias at
+# the operating point: band and estimate shift together.
+REF_BAND_REL = (155.0 / 159.7, 175.0 / 159.7)
+
+
+def tpu_fps_band(lut: LatencyLUT, plan: NetworkPlan,
+                 input_hw: Tuple[int, int] = (1024, 2048)):
+    """TPU-derived FPS band with the reference's relative semantics:
+    REF_BAND_REL scaled by THIS LUT's (calibrated) estimate of the given
+    operating-point plan — normally the shipped student genotype."""
+    fps = fps_of(lut, plan, input_hw)
+    return (REF_BAND_REL[0] * fps, REF_BAND_REL[1] * fps)

@@ -80,16 +80,29 @@ class LatencyLUT:
         # reference's lookup quirk (operations.py:426-431) so walks over
         # imported tables reproduce its stored latencies bit-for-bit
         self.alias_op4 = alias_op4
+        # end-to-end fusion correction: the per-op LUT sum over-prices a
+        # whole XLA-compiled network because cross-op fusion (and the
+        # absence of per-op dispatch) is invisible to a sum of isolated
+        # timings. calibrate_latency.py fits measured/walk over decoded
+        # plans and stores the factor inside the table file under a
+        # reserved key; derived_latency_ms applies it (VERDICT r3 weak #1
+        # — the FPS-band controller compares ABSOLUTE estimated FPS
+        # against the band, train_search.py:204-212, so bias matters).
+        self.fusion_factor = 1.0
         if path and os.path.isfile(path):
             with open(path) as f:
                 self.table = json.load(f)
+        self.fusion_factor = float(self.table.pop("__fusion_factor__", 1.0))
 
     def save(self, path: Optional[str] = None):
         path = path or self.path
         if path:
+            out = dict(self.table)
+            if self.fusion_factor != 1.0:
+                out["__fusion_factor__"] = self.fusion_factor
             tmp = path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump(self.table, f, indent=0, sort_keys=True)
+                json.dump(out, f, indent=0, sort_keys=True)
             os.replace(tmp, path)
 
     def __contains__(self, name: str) -> bool:
