@@ -30,10 +30,12 @@ def _conv_bn(block_p, block_s, conv_name, bn_name):
 
 
 def fast_stem(stem_params, stem_stats, x: jax.Array,
-              dtype=jnp.bfloat16) -> jax.Array:
+              dtype=jnp.bfloat16, planar_out: bool = False) -> jax.Array:
     """Run the 5 stem convs (ConvNorm + 2x BasicResidual2x,
     derived.Stem) via the fused planar kernels. x: (1, H, W, 3) ->
-    (1, H/8, W/8, C_stem) NHWC.
+    (1, H/8, W/8, C_stem) NHWC, or ((H/8, C_pad, W/8), C_stem) planar
+    when `planar_out` (the fully-planar fast-body path chains on it
+    without leaving the kernel layout).
 
     Every stride-2 conv runs in space-to-depth formulation: the s2d
     layout is built by free views around one minor-dim transpose
@@ -56,40 +58,59 @@ def fast_stem(stem_params, stem_stats, x: jax.Array,
                            "Conv_1", "BatchNorm_1")
         y = conv3x3_bn_relu_planar(y, k.astype(dtype), s, b, stride=1)
     c_out = stem_params["stage2"]["Conv_1"]["conv"]["kernel"].shape[-1]
+    if planar_out:
+        return y, c_out
     return planar_to_nhwc(y, c_out)
 
 
 class InferenceRunner:
-    """Jitted eval-mode forwards of a derived network with the fast stem.
+    """Jitted eval-mode forwards of a derived network with the fused
+    Pallas path (stem + body + aggregation, models/fast_body.py).
 
     .logits(v, x)   -> full-resolution class logits (reference contract)
     .classmap(v, x) -> full-resolution int32 class map via the fused
                        upsample+argmax head (never materializes full-res
                        logits in HBM)
+
+    `fast_body_enabled=False` falls back to fused-stem + XLA body;
+    `fast_stem_enabled=False` to the plain flax network.
     """
 
     def __init__(self, plan: NetworkPlan, variables, dtype=jnp.bfloat16,
-                 fast_stem_enabled: bool = True):
+                 fast_stem_enabled: bool = True,
+                 fast_body_enabled: bool = True):
+        from .fast_body import fast_body
+        from ..ops.resize import scale_by
+
         self.plan = plan
         self.model = DerivedNet(plan=plan, dtype=dtype)
         self.variables = variables
         self.dtype = dtype
         self.fast_stem_enabled = fast_stem_enabled
+        self.fast_body_enabled = fast_body_enabled and fast_stem_enabled
 
-        def _stem(v, x):
+        def _stem(v, x, planar=False):
             if not self.fast_stem_enabled:
                 return None
             return fast_stem(v["params"]["stem"], v["batch_stats"]["stem"],
-                             x, dtype)
+                             x, dtype, planar_out=planar)
+
+        def _p8(v, x):
+            if self.fast_body_enabled:
+                return fast_body(plan, v["params"], v["batch_stats"],
+                                 _stem(v, x, planar=True), dtype)
+            return self.model.apply(v, x.astype(dtype), train=False,
+                                    stem_out=_stem(v, x), upsample=False)
 
         def logits_fn(v, x):
+            if self.fast_body_enabled:
+                return scale_by(_p8(v, x), 8)
             return self.model.apply(v, x.astype(dtype), train=False,
                                     stem_out=_stem(v, x))
 
         def classmap_fn(v, x):
-            p8 = self.model.apply(v, x.astype(dtype), train=False,
-                                  stem_out=_stem(v, x), upsample=False)
-            return upsample8_argmax(p8, out_hw=(x.shape[1], x.shape[2]))
+            return upsample8_argmax(_p8(v, x),
+                                    out_hw=(x.shape[1], x.shape[2]))
 
         # unjitted fns exposed for composition (e.g. the int8 runner
         # dequantizes weights inside its own jit, then calls these)

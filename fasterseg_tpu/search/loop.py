@@ -474,7 +474,7 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
                lut: Optional[LatencyLUT] = None,
                plot_genotypes: bool = False,
                resume: bool = False, mesh=None,
-               dataset_cls=None) -> SearchEngine:
+               dataset_cls=None, save_every: int = 1) -> SearchEngine:
     """Full driver (train_search.py:36-212): pretrain when config.pretrain
     is True, otherwise bi-level search with latency control. Scalars go
     to save_dir/metrics.jsonl (+ TensorBoard when available); with
@@ -583,7 +583,10 @@ def run_search(config: SearchConfig, val_dataset=None, epochs=None,
                             [genos[2].path, genos[1].path, genos[0].path],
                             [genos[2].widths, genos[1].widths,
                              genos[0].widths]), epoch)
-        if save_dir:
+        if save_dir and ((epoch + 1) % save_every == 0
+                         or epoch == epochs - 1):
+            # a full orbax save blocks ~60s over the remote-TPU tunnel;
+            # save_every>1 trades resume granularity for epoch time
             engine.save(save_dir, epoch, metrics)
     loader_model.close()
     loader_arch.close()

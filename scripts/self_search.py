@@ -90,7 +90,7 @@ def cmd_pretrain(args):
     cfg = search_config(pretrain=True)
     run_search(cfg, val_dataset=_val_dataset(), epochs=args.epochs,
                save_dir=os.path.join(OUT, "pretrain"), lut=_lut(),
-               resume=True, dataset_cls=make_dataset_cls())
+               resume=True, dataset_cls=make_dataset_cls(), save_every=3)
 
 
 def cmd_search(args):
@@ -99,7 +99,7 @@ def cmd_search(args):
     cfg = search_config(pretrain=False)
     run_search(cfg, val_dataset=_val_dataset(), epochs=args.epochs,
                save_dir=os.path.join(OUT, "search"), lut=_lut(),
-               resume=True, dataset_cls=make_dataset_cls())
+               resume=True, dataset_cls=make_dataset_cls(), save_every=3)
 
 
 def train_config(mode: str):
@@ -153,7 +153,10 @@ def cmd_train(args):
         print(row, flush=True)
         with open(os.path.join(OUT, f"train_{args.stage}.jsonl"), "a") as f:
             f.write(json.dumps(row) + "\n")
-        session.save(sdir, epoch)
+        # orbax saves block ~tens of seconds over the remote-TPU tunnel;
+        # checkpoint every 3rd epoch (and the last) like the search stages
+        if (epoch + 1) % 3 == 0 or epoch == args.epochs - 1:
+            session.save(sdir, epoch)
     loader.close()
     if args.stage == "teacher":
         save_pytree(os.path.join(OUT, "teacher_ckpt"),
@@ -192,16 +195,30 @@ def cmd_fps(args):
     model, variables = create_derived(plan, jax.random.PRNGKey(0),
                                       input_hw=(1024, 2048),
                                       dtype=jnp.bfloat16)
-    runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 1024, 2048, 3),
                           jnp.bfloat16)
-    # slope_time_ms applies the anti-DCE carry to args[0] (the image)
-    ms = slope_time_ms(lambda im, v: runner.logits(v, im), (x, variables))
+    # fully-fused Pallas path first; a searched genotype can in principle
+    # hit kernel geometry the shipped plans never exercised, and this
+    # stage must not kill the pipeline — fall back to fused-stem + XLA
+    # body and record which path produced the number.
+    try:
+        runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16)
+        ms = slope_time_ms(lambda im, v: runner.logits(v, im),
+                           (x, variables))
+        path = "fast_body"
+    except Exception as e:
+        print(f"fast-body path failed ({e!r}); falling back", flush=True)
+        runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16,
+                                 fast_body_enabled=False)
+        ms = slope_time_ms(lambda im, v: runner.logits(v, im),
+                           (x, variables))
+        path = "fast_stem_xla_body"
     row = {"lasts": [int(l) for l in lasts],
            "lut_est_ms": round(float(est_ms), 3),
            "lut_est_fps": round(1000.0 / est_ms, 1),
            "measured_ms": round(ms, 3),
-           "measured_fps": round(1000.0 / ms, 1)}
+           "measured_fps": round(1000.0 / ms, 1),
+           "serving_path": path}
     with open(os.path.join(OUT, "fps.json"), "w") as f:
         json.dump(row, f)
     print(row)
