@@ -88,7 +88,18 @@ def main():
 
     x = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, 3), jnp.bfloat16)
 
-    ms, spread = slope_ms(runner.logits, variables, x)
+    serving_path = "fast_body"
+    try:
+        ms, spread = slope_ms(runner.logits, variables, x)
+    except Exception as e:
+        # the scoreboard number must survive a fast-body regression:
+        # fall back to the fused-stem + XLA-body path
+        print(f"# fast-body path failed ({e!r}); falling back",
+              file=sys.stderr)
+        runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16,
+                                 fast_body_enabled=False)
+        serving_path = "fast_stem_xla_body"
+        ms, spread = slope_ms(runner.logits, variables, x)
     # fused upsample8+argmax head: 9 reps + trimmed median (VERDICT r3
     # weak #2 — target spread <= 5%)
     cms, cspread = slope_ms(runner.classmap, variables, x, reps=9)
@@ -101,6 +112,7 @@ def main():
         "spread_pct": round(spread, 1),
         "classmap_fps": round(1e3 / cms, 2),
         "classmap_spread_pct": round(cspread, 1),
+        "serving_path": serving_path,
     }
     if "--no-int8" not in sys.argv:
         # weight-only int8 PTQ path (models/quantize.py) — recorded in
