@@ -32,6 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 SUBLANE = 16  # bf16 sublane tile
+LANE = 128    # lane tile
 
 
 def fold_bn(gamma, beta, mean, var, eps: float = 1e-5):
@@ -42,6 +43,18 @@ def fold_bn(gamma, beta, mean, var, eps: float = 1e-5):
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def _pad_lanes(p: jax.Array, wo_p: int) -> jax.Array:
+    """Pad a tap plane's minor (lane) dim to the lane tile. Mosaic
+    rejects scratch/window slices whose lane dim is not 128-aligned
+    ("Slice shape along dimension 2 must be aligned to tiling (128)") —
+    hit by the body cells at 1/32 scale (wo=64/32) that the wide stem
+    never reaches. The pad lanes compute garbage that the caller slices
+    off; only maps already narrower than one lane tile pay it."""
+    if p.shape[-1] == wo_p:
+        return p
+    return jnp.pad(p, ((0, 0), (0, 0), (0, wo_p - p.shape[-1])))
 
 
 def _kernel(p0_hbm, p1_hbm, p2_hbm, wmat_ref, sb_ref, out_ref,
@@ -122,18 +135,20 @@ def conv3x3_bn_relu_planar(x: jax.Array, w: jax.Array, scale: jax.Array,
     sb = sb.at[:co, 1].set(bias.astype(jnp.float32))
 
     xp = jnp.pad(x, ((1, 1), (0, 0), (1, 1)))
-    # pre-shifted column-tap planes, each (H+2, cip, wo)
+    # pre-shifted column-tap planes, each (H+2, cip, wo) lane-padded
+    wo_p = _round_up(wo, LANE)
     if stride == 2:
         planes = [xp[:, :, 0::2][:, :, :wo], xp[:, :, 1::2][:, :, :wo],
                   xp[:, :, 2::2][:, :, :wo]]
     else:
         planes = [xp[:, :, dx:dx + wo] for dx in range(3)]
+    planes = [_pad_lanes(p, wo_p) for p in planes]
 
     rows = stride * tile_rows + (3 - stride)
     out = pl.pallas_call(
-        functools.partial(_kernel, tr=tile_rows, rstride=stride, wo=wo,
+        functools.partial(_kernel, tr=tile_rows, rstride=stride, wo=wo_p,
                           relu=relu),
-        out_shape=jax.ShapeDtypeStruct((ho, cop, wo), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((ho, cop, wo_p), x.dtype),
         grid=(ho // tile_rows,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3 + [
             pl.BlockSpec((cop, 9 * cip), lambda i: (0, 0),
@@ -141,19 +156,19 @@ def conv3x3_bn_relu_planar(x: jax.Array, w: jax.Array, scale: jax.Array,
             pl.BlockSpec((cop, 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_rows, cop, wo), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tile_rows, cop, wo_p), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, cip, wo), x.dtype),
-            pltpu.VMEM((2, rows, cip, wo), x.dtype),
-            pltpu.VMEM((2, rows, cip, wo), x.dtype),
+            pltpu.VMEM((2, rows, cip, wo_p), x.dtype),
+            pltpu.VMEM((2, rows, cip, wo_p), x.dtype),
+            pltpu.VMEM((2, rows, cip, wo_p), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(*planes, wmat, sb)
-    return out
+    return out[:, :, :wo] if wo_p != wo else out
 
 
 def _kernel2(p0_hbm, p1_hbm, wmat_ref, sb_ref, out_ref,
@@ -315,11 +330,12 @@ def conv3x3s2_bn_relu_s2d(x: jax.Array, w: jax.Array, scale: jax.Array,
 
     # pad one leading row/col (the dy'=0/dx'=0 taps read cell i-1/j-1)
     xp = jnp.pad(x, ((1, 0), (0, 0), (1, 0)))
-    planes = [xp[:, :, dx:dx + wo] for dx in range(2)]
+    wo_p = _round_up(wo, LANE)
+    planes = [_pad_lanes(xp[:, :, dx:dx + wo], wo_p) for dx in range(2)]
 
     out = pl.pallas_call(
-        functools.partial(_kernel2, tr=tile_rows, wo=wo, relu=relu),
-        out_shape=jax.ShapeDtypeStruct((ho, cop, wo), x.dtype),
+        functools.partial(_kernel2, tr=tile_rows, wo=wo_p, relu=relu),
+        out_shape=jax.ShapeDtypeStruct((ho, cop, wo_p), x.dtype),
         grid=(ho // tile_rows,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2 + [
             pl.BlockSpec((cop, 4 * cip4), lambda i: (0, 0),
@@ -327,17 +343,17 @@ def conv3x3s2_bn_relu_s2d(x: jax.Array, w: jax.Array, scale: jax.Array,
             pl.BlockSpec((cop, 2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_rows, cop, wo), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((tile_rows, cop, wo_p), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, tile_rows + 1, cip4, wo), x.dtype),
-            pltpu.VMEM((2, tile_rows + 1, cip4, wo), x.dtype),
+            pltpu.VMEM((2, tile_rows + 1, cip4, wo_p), x.dtype),
+            pltpu.VMEM((2, tile_rows + 1, cip4, wo_p), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(*planes, wmat, sb)
-    return out
+    return out[:, :, :wo] if wo_p != wo else out
 
 
 def nhwc_to_planar(x: jax.Array, c_pad: Optional[int] = None) -> jax.Array:
