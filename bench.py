@@ -2,8 +2,10 @@
 
 Measures the decoded student network (shipped genotype, lasts=[2,1]) in
 eval mode — image in, full-resolution class logits out — batch 1, bf16
-compute, with the fused Pallas stem (models/infer.py). Baseline: 163.9 FPS
-on GTX 1080Ti + TensorRT 5.1.5 (BASELINE.md).
+compute, on the fully-planar Pallas serving path (fused stem + planar
+body, models/{infer,fast_body}.py; falls back to fused-stem + XLA body
+on failure). Baseline: 163.9 FPS on GTX 1080Ti + TensorRT 5.1.5
+(BASELINE.md).
 
 Methodology: the remote-attached TPU ("axon" tunnel) has ~30 ms host
 round-trip latency and `block_until_ready` does not fence device work, so
@@ -76,11 +78,13 @@ def slope_ms(fn, variables, x, m1=1, m2=10, inner=10, reps=5):
         t2 = time.perf_counter()
         slopes.append(((t2 - t1) - (t1 - t0)) / ((m2 - m1) * inner) * 1e3)
     slopes.sort()
+    kind = "raw_minmax"
     if reps >= 7:
         slopes = slopes[1:-1]  # trim one outlier each side
+        kind = "trimmed"
     med = slopes[len(slopes) // 2]
     spread = (slopes[-1] - slopes[0]) / med * 100.0
-    return med, spread
+    return med, spread, kind
 
 
 def main():
@@ -95,30 +99,33 @@ def main():
 
     x = jax.random.normal(jax.random.PRNGKey(1), (1, H, W, 3), jnp.bfloat16)
 
-    # Default to the fused-stem + XLA-body path for the scoreboard: the
-    # fully-planar fast body emits ~25 Pallas kernels per frame and its
-    # 10-frame chain takes >10 min of cold XLA compile on the remote
-    # backend — too slow/risky for a driver-budgeted run until its
-    # compile cost comes down. FASTERSEG_BENCH_FAST_BODY=1 opts in.
-    want_fast_body = os.environ.get("FASTERSEG_BENCH_FAST_BODY") == "1"
+    # The fully-planar Pallas fast body (models/fast_body.py) is the
+    # default scoreboard path since round 5: post-008abaf it was
+    # re-validated on the attached TPU for the shipped plans and the
+    # searched genotype (evidence/fast_body/validation.json), and the
+    # persistent compile cache keeps its cold-compile cost out of the
+    # driver budget after the first run. FASTERSEG_BENCH_FAST_BODY=0
+    # opts back out to the fused-stem + XLA-body path; a runtime failure
+    # in the fast body falls back to the same (the scoreboard must
+    # survive a kernel regression) and labels the JSON accordingly.
+    want_fast_body = os.environ.get("FASTERSEG_BENCH_FAST_BODY", "1") != "0"
     serving_path = "fast_body" if want_fast_body else "fast_stem_xla_body"
     if not want_fast_body:
         runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16,
                                  fast_body_enabled=False)
     try:
-        ms, spread = slope_ms(runner.logits, variables, x)
+        ms, spread, _ = slope_ms(runner.logits, variables, x)
     except Exception as e:
-        # the scoreboard number must survive a fast-body regression:
-        # fall back to the fused-stem + XLA-body path
         print(f"# fast-body path failed ({e!r}); falling back",
               file=sys.stderr)
+        want_fast_body = False
         runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16,
                                  fast_body_enabled=False)
         serving_path = "fast_stem_xla_body"
-        ms, spread = slope_ms(runner.logits, variables, x)
+        ms, spread, _ = slope_ms(runner.logits, variables, x)
     # fused upsample8+argmax head: 9 reps + trimmed median (VERDICT r3
     # weak #2 — target spread <= 5%)
-    cms, cspread = slope_ms(runner.classmap, variables, x, reps=9)
+    cms, cspread, ckind = slope_ms(runner.classmap, variables, x, reps=9)
 
     result = {
         "metric": "student_inference_fps_1024x2048_b1",
@@ -126,8 +133,10 @@ def main():
         "unit": "fps",
         "vs_baseline": round(1e3 / ms / BASELINE_FPS, 3),
         "spread_pct": round(spread, 1),
+        "spread_kind": "raw_minmax",
         "classmap_fps": round(1e3 / cms, 2),
         "classmap_spread_pct": round(cspread, 1),
+        "classmap_spread_kind": ckind,
         "serving_path": serving_path,
     }
     if "--no-int8" not in sys.argv:
@@ -135,13 +144,19 @@ def main():
         # the default scoreboard run (VERDICT r3 #4). On this backend
         # int8 is a deployment-size feature (~0.9-1.0x bf16 conv rate,
         # quantize.py:11-17); the number is captured so that claim is
-        # driver-auditable, not to beat the bf16 row.
+        # driver-auditable, not to beat the bf16 row. The int8 leg runs
+        # the SAME serving path the headline ended up on (VERDICT r4
+        # weak #2: r04 accidentally measured int8 on the fast body while
+        # bf16 ran the XLA body, mislabeling the fast-body delta as an
+        # int8 gain) and records that path per row.
         try:
             from fasterseg_tpu.models.quantize import quantize_variables
-            qvars, qrunner = quantize_variables(plan, variables)
-            qms, qspread = slope_ms(qrunner.logits, qvars, x)
+            qvars, qrunner = quantize_variables(
+                plan, variables, fast_body_enabled=want_fast_body)
+            qms, qspread, _ = slope_ms(qrunner.logits, qvars, x)
             result["int8_fps"] = round(1e3 / qms, 2)
             result["int8_spread_pct"] = round(qspread, 1)
+            result["int8_serving_path"] = serving_path
         except Exception as e:  # headline number must still print
             result["int8_error"] = str(e)[:120]
     print(json.dumps(result))

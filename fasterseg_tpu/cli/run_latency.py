@@ -70,13 +70,24 @@ def main(argv=None):
 
     from ..models.infer import InferenceRunner
     runner = InferenceRunner(plan, variables, dtype=dtype)
-
-    ms = slope_time_ms(lambda x: runner.logits(variables, x), (x,),
-                       n1=2, n2=10)
+    serving_path = "fast_body"
+    try:
+        ms = slope_time_ms(lambda x: runner.logits(variables, x), (x,),
+                           n1=2, n2=10)
+    except Exception as e:
+        import sys
+        print(f"# fast-body path failed ({e!r}); falling back",
+              file=sys.stderr)
+        runner = InferenceRunner(plan, variables, dtype=dtype,
+                                 fast_body_enabled=False)
+        serving_path = "fast_stem_xla_body"
+        ms = slope_time_ms(lambda x: runner.logits(variables, x), (x,),
+                           n1=2, n2=10)
     ms_cm = slope_time_ms(lambda x: runner.classmap(variables, x), (x,),
                           n1=2, n2=10)
     print(json.dumps({
         "lasts": lasts,
+        "serving_path": serving_path,
         "logits_ms": round(ms, 3),
         "logits_fps": round(1000.0 / ms, 1),
         "classmap_ms": round(ms_cm, 3),

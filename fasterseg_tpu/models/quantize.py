@@ -109,7 +109,8 @@ class QuantizedRunner:
     heads). .logits / .classmap as InferenceRunner."""
 
     def __init__(self, plan: NetworkPlan, dtype=jnp.bfloat16,
-                 fast_stem_enabled: bool = True):
+                 fast_stem_enabled: bool = True,
+                 fast_body_enabled: bool = True):
         self.plan = plan
         self.dtype = dtype
         self._inner = None
@@ -121,8 +122,14 @@ class QuantizedRunner:
             return {"params": params,
                     "batch_stats": qvars["batch_stats"]}
 
+        # serving-path knobs mirror InferenceRunner's so an int8-vs-bf16
+        # comparison can hold the path fixed (VERDICT r4 weak #2: the
+        # r04 bench accidentally measured int8 on the fast body while
+        # the bf16 headline ran the XLA body — the 1.32x "int8 gain"
+        # was the fast-body delta)
         inner = InferenceRunner(plan, None, dtype=dtype,
-                                fast_stem_enabled=fast_stem_enabled)
+                                fast_stem_enabled=fast_stem_enabled,
+                                fast_body_enabled=fast_body_enabled)
 
         def logits(qvars, x):
             return inner.logits_fn(_build(qvars), x)
@@ -138,7 +145,8 @@ class QuantizedRunner:
 
 
 def quantize_variables(plan: NetworkPlan, variables, dtype=jnp.bfloat16,
-                       fast_stem_enabled: bool = True
+                       fast_stem_enabled: bool = True,
+                       fast_body_enabled: bool = True
                        ) -> Tuple[Dict, QuantizedRunner]:
     """variables (bf16/f32) -> (int8 qvars, QuantizedRunner)."""
     qtree, stree = quantize_params(variables["params"],
@@ -146,4 +154,5 @@ def quantize_variables(plan: NetworkPlan, variables, dtype=jnp.bfloat16,
     qvars = {"params_q": qtree, "params_scale": stree,
              "batch_stats": variables.get("batch_stats", {})}
     return qvars, QuantizedRunner(plan, dtype=dtype,
-                                  fast_stem_enabled=fast_stem_enabled)
+                                  fast_stem_enabled=fast_stem_enabled,
+                                  fast_body_enabled=fast_body_enabled)

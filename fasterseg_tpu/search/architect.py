@@ -68,18 +68,33 @@ def latency_terms(tables, stem_ms_per_arch: Sequence[float], arch_params,
 class LatencyWeightController:
     """FPS-band feedback on the latency penalty
     (train_search.py:204-212): halve when either decoded branch is at or
-    above FPS_max, double when either is at or below FPS_min."""
+    above FPS_max, double when either is at or below FPS_min.
+
+    Deviation from the reference (PARITY.md): the doubling is CAPPED at
+    `initial_weight * 2**max_doublings` (default 2^8 = 256x). The
+    reference's rule is unbounded because its band straddles its
+    supernet's starting operating point, so its authors never saw the
+    failure mode; when the decoded arch starts below the band the
+    unbounded rule doubles every epoch and the latency term swamps the
+    task loss — the round-4 self-search run reached weight 1.34e6
+    (6.7e7x initial) and search-time val mIoU collapsed while the
+    genotype froze (SEARCH.md trajectory; VERDICT r4 weak #4). 256x
+    initial is already ~8x the total dynamic range the reference's own
+    runs traverse, so the cap cannot bind in a reference-faithful run."""
 
     def __init__(self, latency_weight: Sequence[float],
-                 fps_min: Sequence[float], fps_max: Sequence[float]):
+                 fps_min: Sequence[float], fps_max: Sequence[float],
+                 max_doublings: int = 8):
         self.weights = list(latency_weight)
         self.fps_min = list(fps_min)
         self.fps_max = list(fps_max)
+        self.max_weights = [w * 2.0 ** max_doublings for w in self.weights]
 
     def update(self, arch_idx: int, fps0: float, fps1: float) -> float:
         if self.weights[arch_idx] > 0:
             if fps0 >= self.fps_max[arch_idx] or fps1 >= self.fps_max[arch_idx]:
                 self.weights[arch_idx] /= 2
             elif fps0 <= self.fps_min[arch_idx] or fps1 <= self.fps_min[arch_idx]:
-                self.weights[arch_idx] *= 2
+                self.weights[arch_idx] = min(self.weights[arch_idx] * 2,
+                                             self.max_weights[arch_idx])
         return self.weights[arch_idx]

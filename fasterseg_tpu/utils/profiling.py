@@ -67,6 +67,14 @@ def serving_segments(plan, variables, input_hw=(1024, 2048),
                                "batch_stats": v["batch_stats"]["stem"]},
                               im.astype(dtype), train=False)
 
+    def stem_planar_fn(im, v):
+        # what the fully-planar body actually chains on: NO trailing
+        # planar->NHWC transpose. Subtracting the NHWC-emitting stem_fn
+        # from the planar p8 path misattributes that transpose to the
+        # body (ADVICE r4: body_agg vs body_agg_xla inconsistency).
+        return fast_stem(v["params"]["stem"], v["batch_stats"]["stem"],
+                         im, dtype, planar_out=True)
+
     def p8_xla_fn(im, v):
         return runner.model.apply(
             v, im.astype(dtype), train=False,
@@ -94,13 +102,17 @@ def serving_segments(plan, variables, input_hw=(1024, 2048),
     n1, n2 = (4, 16) if on_tpu else (1, 2)
     kw = dict(n1=n1, n2=n2, reps=reps)
     stem_ms = slope_time_ms(stem_fn, (x, variables), **kw)
+    # apples-to-apples stem for the planar-body subtraction (on TPU the
+    # planar variant skips the final transpose stem_fn pays)
+    stem_body_ms = (slope_time_ms(stem_planar_fn, (x, variables), **kw)
+                    if on_tpu else stem_ms)
     p8_ms = slope_time_ms(p8_fn, (x, variables), **kw)
     logits_ms = slope_time_ms(lambda im, v: runner.logits_fn(v, im),
                               (x, variables), **kw)
     classmap_ms = slope_time_ms(classmap_fn, (x, variables), **kw)
     out = {
         "stem_ms": round(stem_ms, 3),
-        "body_agg_ms": round(p8_ms - stem_ms, 3),
+        "body_agg_ms": round(p8_ms - stem_body_ms, 3),
         "upsample_ms": round(logits_ms - p8_ms, 3),
         "classmap_head_ms": round(classmap_ms - p8_ms, 3),
         "logits_ms": round(logits_ms, 3),
@@ -109,6 +121,7 @@ def serving_segments(plan, variables, input_hw=(1024, 2048),
         "classmap_fps": round(1e3 / classmap_ms, 1),
     }
     if on_tpu:
+        out["stem_planar_ms"] = round(stem_body_ms, 3)
         # generic-XLA body+aggregation on the same fused stem, for the
         # planar-vs-XLA body comparison (VERDICT r3 missing #3 evidence)
         p8_xla_ms = slope_time_ms(p8_xla_fn, (x, variables), **kw)

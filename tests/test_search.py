@@ -154,3 +154,22 @@ def test_decoded_arch_is_buildable(val_dataset):
                                       input_hw=(64, 128))
     out = model.apply(variables, jnp.zeros((1, 64, 128, 3)), train=False)
     assert out.shape == (1, 64, 128, 19)
+
+
+def test_latency_weight_controller_cap():
+    """The FPS-band doubling is capped at initial*2^max_doublings
+    (deviation from train_search.py:204-212's unbounded x2, PARITY.md):
+    the round-4 self-search saturated the unbounded rule to 1.34e6 and
+    late-epoch arch updates became latency-only (VERDICT r4 weak #4)."""
+    from fasterseg_tpu.search.architect import LatencyWeightController
+
+    c = LatencyWeightController([0.0, 1e-2], fps_min=[0.0, 100.0],
+                                fps_max=[0.0, 120.0], max_doublings=4)
+    # decoded FPS stuck below the band: doubles, then pins at 2^4x
+    for _ in range(20):
+        w = c.update(1, 50.0, 50.0)
+    assert w == pytest.approx(1e-2 * 16)
+    # halving still works from the cap (reference rule above FPS_max)
+    assert c.update(1, 500.0, 500.0) == pytest.approx(1e-2 * 8)
+    # teacher (zero weight) stays untouched
+    assert c.update(0, 50.0, 50.0) == 0.0
