@@ -36,7 +36,7 @@ def main(argv=None):
     from ..core.genotype import decode_network
     from ..core.plan import build_plan, select_lasts
     from ..latency import LatencyLUT, TpuCostModel, derived_latency_ms
-    from ..latency.measure import slope_time_ms
+    from ..latency.measure import chained_slope_ms
     from ..models import create_derived
     from ..train.driver import load_arch_any
 
@@ -72,8 +72,7 @@ def main(argv=None):
     runner = InferenceRunner(plan, variables, dtype=dtype)
     serving_path = "fast_body"
     try:
-        ms = slope_time_ms(lambda x: runner.logits(variables, x), (x,),
-                           n1=2, n2=10)
+        ms, _, _ = chained_slope_ms(runner.logits, variables, x)
     except Exception as e:
         import sys
         print(f"# fast-body path failed ({e!r}); falling back",
@@ -81,10 +80,8 @@ def main(argv=None):
         runner = InferenceRunner(plan, variables, dtype=dtype,
                                  fast_body_enabled=False)
         serving_path = "fast_stem_xla_body"
-        ms = slope_time_ms(lambda x: runner.logits(variables, x), (x,),
-                           n1=2, n2=10)
-    ms_cm = slope_time_ms(lambda x: runner.classmap(variables, x), (x,),
-                          n1=2, n2=10)
+        ms, _, _ = chained_slope_ms(runner.logits, variables, x)
+    ms_cm, _, _ = chained_slope_ms(runner.classmap, variables, x)
     print(json.dumps({
         "lasts": lasts,
         "serving_path": serving_path,

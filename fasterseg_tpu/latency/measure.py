@@ -98,6 +98,65 @@ def slope_time_ms(fn: Callable, args: Sequence, n1: int = 4, n2: int = 16,
     return max((t2 - t1) / (n2 - n1) * 1e3, 0.0)
 
 
+def chained_slope_ms(fn: Callable, variables, x, m1: int = 1, m2: int = 10,
+                     inner: int = 10, reps: int = 5,
+                     trim: bool = None) -> Tuple[float, float, str]:
+    """The SCOREBOARD slope harness (bench.py methodology): time
+    m x `inner` back-to-back forwards where the `inner`-frame block is
+    unrolled inside a fori_loop whose trip count `m` is TRACED — one
+    compiled program serves every chain length, and weight-prep /
+    layout subgraphs hoist out of the loop exactly once. Each frame
+    carries an ADDITIVE data dependency on the previous output
+    (c += sum(out)*1e-20 folded into the next input) so XLA cannot drop
+    work (verify-skill gotcha).
+
+    Returns (median_ms_per_frame, spread_pct, spread_kind). With
+    reps >= 7 (or trim=True) the min/max slopes are trimmed first.
+
+    Measured note (round 5, evidence/fast_body/validation.json): the
+    fully-unrolled n-frame chains of `slope_time_ms` read the planar
+    fast body ~1.1-1.2x slower per frame than this harness on the same
+    plan (1.88 vs 1.58 ms shipped student) — the long unrolled Pallas
+    sequence schedules slightly worse than the rolled loop — and are
+    far more sensitive to host load (the same measurement taken while a
+    pytest run shared the single-core host read 2.74 ms). All
+    end-to-end serving numbers (bench, fps stages, calibration,
+    serving_segments) use THIS harness; `slope_time_ms` remains for
+    single-op LUT measurements where there is no loop to roll.
+    """
+    import time as _time
+
+    import jax.numpy as jnp
+
+    def run(xx, m):
+        def body(_, c):
+            for _ in range(inner):
+                out = fn(variables, xx + c.astype(xx.dtype))
+                c = c + jnp.sum(out.astype(jnp.float32)) * 1e-20
+            return c
+        return jax.lax.fori_loop(0, m, body, jnp.float32(0.0))
+
+    f = jax.jit(run)
+    float(f(x, m1))  # compile + warm; host fetch fences the device queue
+    float(f(x, m2))
+    slopes = []
+    for _ in range(reps):
+        t0 = _time.perf_counter()
+        float(f(x, m1))
+        t1 = _time.perf_counter()
+        float(f(x, m2))
+        t2 = _time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / ((m2 - m1) * inner) * 1e3)
+    slopes.sort()
+    kind = "raw_minmax"
+    if trim if trim is not None else reps >= 7:
+        slopes = slopes[1:-1]
+        kind = "trimmed"
+    med = slopes[len(slopes) // 2]
+    spread = (slopes[-1] - slopes[0]) / med * 100.0
+    return med, spread, kind
+
+
 def measured_provider(dtype=None, n1: int = 8, n2: int = 72, reps: int = 2,
                       floor_ms: float = 1e-3, verbose: bool = True):
     """A LatencyLUT provider that MEASURES on-device: parse the key, build

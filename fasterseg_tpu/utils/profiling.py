@@ -96,20 +96,37 @@ def serving_segments(plan, variables, input_hw=(1024, 2048),
             return runner.classmap_fn(v, im)
         return jnp.argmax(runner.logits_fn(v, im), axis=-1).astype(jnp.int32)
 
-    # Off-TPU the XLA-CPU compile of an n2-long unrolled chain of full
-    # network forwards takes minutes; use the shortest slope that still
-    # exercises the code path (fidelity off-TPU is not the point).
-    n1, n2 = (4, 16) if on_tpu else (1, 2)
-    kw = dict(n1=n1, n2=n2, reps=reps)
-    stem_ms = slope_time_ms(stem_fn, (x, variables), **kw)
+    # On TPU: the scoreboard slope harness (chained_slope_ms — inner
+    # frames unrolled inside a traced-trip fori_loop), the same
+    # methodology as bench.py, because the fully-unrolled chains of
+    # slope_time_ms schedule long Pallas sequences worse and inflate the
+    # planar segments (~1.1-1.2x on the fast body; see
+    # evidence/fast_body/validation.json). Off-TPU the XLA-CPU compile
+    # of a long chain of full network forwards takes minutes; use the
+    # shortest unrolled slope that still exercises the code path
+    # (fidelity off-TPU is not the point).
+    from ..latency.measure import chained_slope_ms
+
+    if on_tpu:
+        def timed(fn):
+            ms, _, _ = chained_slope_ms(lambda v, im: fn(im, v),
+                                        variables, x, reps=reps)
+            return ms
+    else:
+        def timed(fn):
+            return slope_time_ms(fn, (x, variables), n1=1, n2=2,
+                                 reps=reps)
+
+    stem_ms = timed(stem_fn)
     # apples-to-apples stem for the planar-body subtraction (on TPU the
     # planar variant skips the final transpose stem_fn pays)
-    stem_body_ms = (slope_time_ms(stem_planar_fn, (x, variables), **kw)
-                    if on_tpu else stem_ms)
-    p8_ms = slope_time_ms(p8_fn, (x, variables), **kw)
-    logits_ms = slope_time_ms(lambda im, v: runner.logits_fn(v, im),
-                              (x, variables), **kw)
-    classmap_ms = slope_time_ms(classmap_fn, (x, variables), **kw)
+    stem_body_ms = timed(stem_planar_fn) if on_tpu else stem_ms
+    p8_ms = timed(p8_fn)
+    # floor at 1 ns: off-TPU the short noisy slopes can clamp to 0.0
+    # (slope_time_ms never returns negatives), which would divide the
+    # fps fields by zero
+    logits_ms = max(timed(lambda im, v: runner.logits_fn(v, im)), 1e-6)
+    classmap_ms = max(timed(classmap_fn), 1e-6)
     out = {
         "stem_ms": round(stem_ms, 3),
         "body_agg_ms": round(p8_ms - stem_body_ms, 3),
@@ -124,6 +141,6 @@ def serving_segments(plan, variables, input_hw=(1024, 2048),
         out["stem_planar_ms"] = round(stem_body_ms, 3)
         # generic-XLA body+aggregation on the same fused stem, for the
         # planar-vs-XLA body comparison (VERDICT r3 missing #3 evidence)
-        p8_xla_ms = slope_time_ms(p8_xla_fn, (x, variables), **kw)
+        p8_xla_ms = timed(p8_xla_fn)
         out["body_agg_xla_ms"] = round(p8_xla_ms - stem_ms, 3)
     return out

@@ -8,10 +8,12 @@ defense of the per-op LUT sum does not hold there — the uncalibrated
 walk over-prices a whole XLA program by ~45% because cross-op fusion
 and zero per-op dispatch are invisible to a sum of isolated timings.
 
-This script measures end-to-end serving latency (InferenceRunner.logits,
-slope method, 1024x2048 bf16 — the same path bench.py scores) for the
-four shipped decoded plans (teacher/student x lasts [2,0]/[2,1]), fits
-the scalar fusion-correction factor minimizing max relative error, and
+This script measures end-to-end serving latency (InferenceRunner.logits
+on the default fast-body path, scoreboard slope harness
+latency/measure.py chained_slope_ms, 1024x2048 bf16 — the exact path
+and methodology bench.py scores) for the four shipped decoded plans
+(teacher/student x lasts [2,0]/[2,1]), fits the scalar
+fusion-correction factor minimizing max relative error, and
 
   * writes the full table to evidence/latency_calib/calibration.json
     (committed — tests/test_latency_calibration.py pins walk-vs-measured
@@ -71,7 +73,7 @@ def main():
     from fasterseg_tpu.latency import (LatencyLUT, TpuCostModel,
                                        derived_latency_ms)
     from fasterseg_tpu.latency.derived import tpu_fps_band
-    from fasterseg_tpu.latency.measure import slope_time_ms
+    from fasterseg_tpu.latency.measure import chained_slope_ms
     from fasterseg_tpu.models import create_derived, student_plan
     from fasterseg_tpu.models.infer import InferenceRunner
 
@@ -83,8 +85,8 @@ def main():
                                           input_hw=HW, dtype=jnp.bfloat16)
         runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16)
         x = jnp.zeros((1, HW[0], HW[1], 3), jnp.bfloat16)
-        ms = slope_time_ms(lambda im: runner.logits(variables, im), (x,),
-                           n1=2, n2=10, reps=args.reps)
+        ms, _, _ = chained_slope_ms(runner.logits, variables, x,
+                                    reps=args.reps)
         rows[name] = {"walk_ms": round(walk, 4), "measured_ms": round(ms, 4),
                       "ratio": round(ms / walk, 4)}
         print(name, rows[name], flush=True)
@@ -98,8 +100,9 @@ def main():
     out = {
         "input_hw": list(HW),
         "dtype": "bfloat16",
-        "measured_path": "InferenceRunner.logits (fused Pallas stem), "
-                         "slope method n1=2 n2=10",
+        "measured_path": "InferenceRunner.logits (fast body default), "
+                         "chained_slope_ms scoreboard harness "
+                         "(inner=10, m1=1, m2=10)",
         "plans": rows,
         "fusion_factor": round(factor, 4),
         "max_rel_err_pct": round(max_err * 100, 2),

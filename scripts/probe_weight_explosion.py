@@ -4,7 +4,7 @@ The round-4 self-search's FPS-band controller doubled unbounded to
 1.34e6 while search-time val mIoU collapsed after ~epoch 7 (SEARCH.md
 trajectory; the ×2 rule mirrors train_search.py:204-212). The question
 this probe answers from the committed per-epoch snapshots
-(evidence/self_search/search/arch_1_<ep>.npz, the analog of the
+(evidence/self_search_r4/search/arch_1_<ep>.npz, the analog of the
 reference's arch_logging, train_search.py:274-303): did the
 latency-only late epochs keep improving the genotype, or merely freeze
 it — and did they cost final accuracy?
@@ -18,7 +18,7 @@ Method:
      teacher-style: no distillation — the archetypes are compared to
      each other, not to the distilled headline) and report val mIoU.
 
-Writes evidence/self_search/probe_weight_explosion.json.
+Writes evidence/self_search_r4/probe_weight_explosion.json.
 
   python scripts/probe_weight_explosion.py            # decode-only
   python scripts/probe_weight_explosion.py --train    # + short trainings
@@ -36,8 +36,9 @@ import time
 sys.path.insert(0, "/root/repo")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SEARCH_DIR = os.path.join(REPO, "evidence", "self_search", "search")
-OUT = os.path.join(REPO, "evidence", "self_search",
+SEARCH_DIR = os.path.join(REPO, "evidence", "self_search_r4",
+                          "search")
+OUT = os.path.join(REPO, "evidence", "self_search_r4",
                    "probe_weight_explosion.json")
 ROOT = os.path.join(REPO, "artifacts", "proccity")
 HW = (256, 512)
@@ -158,7 +159,13 @@ def main():
     out = {"snapshots": epochs_rows,
            "n_distinct_genotypes": len(distinct)}
     if args.train:
-        chosen = distinct[-args.max_archs:]
+        # span the trajectory: earliest (accuracy-driven epochs, before
+        # the weight explosion), two mid-points, and the final genotype
+        # (latency-dominated epochs)
+        k = min(args.max_archs, len(distinct))
+        idxs = sorted({round(i * (len(distinct) - 1) / max(k - 1, 1))
+                       for i in range(k)})
+        chosen = [distinct[i] for i in idxs]
         trainings = {}
         for r in chosen:
             print(f"== training epoch-{r['epoch']} archetype ==",

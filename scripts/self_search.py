@@ -231,7 +231,7 @@ def cmd_fps(args):
     import jax
     import jax.numpy as jnp
     from fasterseg_tpu.latency import derived_latency_ms
-    from fasterseg_tpu.latency.measure import slope_time_ms
+    from fasterseg_tpu.latency.measure import chained_slope_ms
     from fasterseg_tpu.models import create_derived
     from fasterseg_tpu.models.infer import InferenceRunner
 
@@ -242,21 +242,20 @@ def cmd_fps(args):
                                       dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(1), (1, 1024, 2048, 3),
                           jnp.bfloat16)
-    # fully-fused Pallas path first; a searched genotype can in principle
-    # hit kernel geometry the shipped plans never exercised, and this
-    # stage must not kill the pipeline — fall back to fused-stem + XLA
-    # body and record which path produced the number.
+    # fully-fused Pallas path first (scoreboard slope harness, same as
+    # bench.py); a searched genotype can in principle hit kernel
+    # geometry the shipped plans never exercised, and this stage must
+    # not kill the pipeline — fall back to fused-stem + XLA body and
+    # record which path produced the number.
     try:
         runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16)
-        ms = slope_time_ms(lambda im, v: runner.logits(v, im),
-                           (x, variables))
+        ms, _, _ = chained_slope_ms(runner.logits, variables, x)
         path = "fast_body"
     except Exception as e:
         print(f"fast-body path failed ({e!r}); falling back", flush=True)
         runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16,
                                  fast_body_enabled=False)
-        ms = slope_time_ms(lambda im, v: runner.logits(v, im),
-                           (x, variables))
+        ms, _, _ = chained_slope_ms(runner.logits, variables, x)
         path = "fast_stem_xla_body"
     row = {"lasts": [int(l) for l in lasts],
            "lut_est_ms": round(float(est_ms), 3),

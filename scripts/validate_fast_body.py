@@ -10,9 +10,15 @@ student (evidence/self_search arch_1)}:
   * one fast-body forward vs one fused-stem+XLA-body forward on the
     SAME input — classmap agreement % and logits max-abs-diff (the
     serving contract: the fast path must decide the same classes), and
-  * slope-timed steady-state ms/frame for BOTH paths (n1=2, n2=10,
-    latency.measure.slope_time_ms — the only honest timing through the
-    ~30 ms host tunnel).
+  * steady-state ms/frame for BOTH paths under BOTH slope harnesses:
+    the scoreboard harness (latency.measure.chained_slope_ms — inner
+    frames unrolled inside a traced-trip-count fori_loop, the bench.py
+    methodology) and the fully-unrolled chains of
+    latency.measure.slope_time_ms. The unrolled chains read the Pallas
+    fast body ~1.1-1.2x slower (long unrolled Pallas sequences schedule
+    slightly worse than the rolled loop) and are far more sensitive to
+    host load, so the committed evidence records both and every
+    end-to-end serving number in the repo uses the scoreboard harness.
 
 Writes evidence/fast_body/validation.json. This is the gating evidence
 for making the fast body the scoreboard serving path (VERDICT r4 #2/#5);
@@ -64,7 +70,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from fasterseg_tpu.latency.measure import slope_time_ms
+    from fasterseg_tpu.latency.measure import chained_slope_ms, slope_time_ms
     from fasterseg_tpu.models import (create_derived, student_plan,
                                       teacher_plan)
     from fasterseg_tpu.models.infer import InferenceRunner
@@ -103,13 +109,17 @@ def main():
             row["classmap_agree_pct"] = round(float(agree) * 100, 4)
             row["logits_max_abs_diff"] = round(float(maxdiff), 4)
             del yf, ys
-            row["fast_ms"] = round(slope_time_ms(
+            ms, _, _ = chained_slope_ms(fast.logits, variables, x)
+            row["fast_ms"] = round(ms, 4)
+            row["fast_unrolled_ms"] = round(slope_time_ms(
                 lambda im, v: fast.logits(v, im), (x, variables),
                 n1=2, n2=10), 4)
         except Exception as e:
             row["fast_error"] = repr(e)[:200]
             print(f"  fast body FAILED: {e!r}", flush=True)
-        row["xla_body_ms"] = round(slope_time_ms(
+        ms, _, _ = chained_slope_ms(slow.logits, variables, x)
+        row["xla_body_ms"] = round(ms, 4)
+        row["xla_body_unrolled_ms"] = round(slope_time_ms(
             lambda im, v: slow.logits(v, im), (x, variables),
             n1=2, n2=10), 4)
         if "fast_ms" in row:
@@ -118,7 +128,13 @@ def main():
         print(f"  {row}", flush=True)
 
     out = {"input_hw": list(HW), "dtype": "bfloat16",
-           "backend": jax.default_backend(), "plans": rows}
+           "backend": jax.default_backend(),
+           "harness": {"*_ms": "chained_slope_ms (scoreboard: inner=10 "
+                               "frames unrolled in a traced-trip fori_"
+                               "loop, median of 5 slopes)",
+                       "*_unrolled_ms": "slope_time_ms (fully-unrolled "
+                                        "n1=2/n2=10 chains, min of 3)"},
+           "plans": rows}
     os.makedirs(EVID, exist_ok=True)
     with open(os.path.join(EVID, "validation.json"), "w") as f:
         json.dump(out, f, indent=1)

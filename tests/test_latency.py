@@ -87,3 +87,36 @@ def test_op_key_downup_2x_alias_is_import_only():
     assert "BasicResidual2x" in op_key(4, 128, 256, 96, 96, 1)
     assert "BasicResidual_downup_2x" in op_key(4, 128, 256, 96, 96, 1,
                                                true_name=True)
+
+
+def test_chained_slope_ms_executes_and_carries():
+    """The scoreboard slope harness (chained_slope_ms): one compiled
+    program (traced trip count) serves both chain lengths, the additive
+    carry forces every frame to execute, and the returned (median,
+    spread, kind) are well-formed. Functional check on CPU — the ms
+    value itself is only meaningful on the TPU."""
+    import jax.numpy as jnp
+
+    from fasterseg_tpu.latency.measure import chained_slope_ms
+
+    calls = []
+
+    def fn(variables, x):
+        calls.append(1)
+        return x * variables["w"] + 1.0
+
+    variables = {"w": jnp.float32(2.0)}
+    x = jnp.ones((4, 4), jnp.float32)
+    ms, spread, kind = chained_slope_ms(fn, variables, x, m1=1, m2=3,
+                                        inner=2, reps=3)
+    # ONE program for both trip counts (traced trip count): fn appears
+    # in exactly one trace, unrolled `inner` times
+    assert len(calls) == 2
+    import math
+    # on CPU with ~ns of work the slope is noise; only well-formedness
+    # is asserted here (sign/magnitude are TPU-meaningful)
+    assert math.isfinite(ms) and math.isfinite(spread)
+    assert kind == "raw_minmax"
+    _, _, kind7 = chained_slope_ms(fn, variables, x, m1=1, m2=2,
+                                   inner=1, reps=7)
+    assert kind7 == "trimmed"
