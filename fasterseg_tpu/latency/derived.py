@@ -38,11 +38,12 @@ def derived_latency_ms(lut: LatencyLUT, plan: NetworkPlan,
     """Total estimated ms for one eval-mode forward at input_hw.
 
     With calibrate=True (default) the per-op sum is multiplied by the
-    LUT's fusion-correction factor (see LatencyLUT.fusion_factor /
-    scripts/calibrate_latency.py) so the estimate tracks measured
-    end-to-end latency of the XLA-compiled net, not the sum of isolated
-    op timings. Reference-imported GPU tables carry no factor (1.0), so
-    golden walks over the shipped npy are unaffected."""
+    LUT's fusion-correction factor for the plan's width family
+    (LatencyLUT.factor_for / scripts/calibrate_latency.py) so the
+    estimate tracks measured end-to-end latency of the compiled serving
+    path, not the sum of isolated op timings. Reference-imported GPU
+    tables carry no factor (1.0), so golden walks over the shipped npy
+    are unaffected."""
     H, W = input_hw
     total = stem_latency(lut, plan, input_hw)
     hw = plan.head_width()
@@ -74,7 +75,7 @@ def derived_latency_ms(lut: LatencyLUT, plan: NetworkPlan,
     total += lut.get(ffm_key(h8, w8, plan.ffm_channels))
     total += lut.get(head_key(h8, w8, plan.heads8_in, plan.num_classes))
     if calibrate:
-        total *= lut.fusion_factor
+        total *= lut.factor_for(plan.stem_head_width[0])
     return float(total)
 
 

@@ -93,6 +93,27 @@ class LatencyLUT:
             with open(path) as f:
                 self.table = json.load(f)
         self.fusion_factor = float(self.table.pop("__fusion_factor__", 1.0))
+        # per-width-family factors, keyed by the network's stem/head width
+        # multiplier ("1.0" teacher family, "0.667" student family):
+        # the fusion gain over the per-op sum tracks network width — wide
+        # (teacher) ops are MXU-saturated in isolation so the compiled
+        # net gains ~1.7x, narrow (student) ops carry more per-op padding
+        # /overhead and the fully-planar serving path recovers ~2.7x
+        # (measured: evidence/latency_calib/calibration.json, ratios
+        # 0.59-0.60 teacher vs ~0.37 student). A single scalar cannot be
+        # within 10% of both; the student factor matters most because the
+        # FPS-band controller consumes ABSOLUTE student fps.
+        self.fusion_factors = {
+            float(k): float(v) for k, v in
+            self.table.pop("__fusion_factor_by_width__", {}).items()}
+
+    def factor_for(self, width: float) -> float:
+        """Fusion factor for a plan whose stem/head width multiplier is
+        `width`; nearest family match, else the scalar default."""
+        if self.fusion_factors:
+            key = min(self.fusion_factors, key=lambda k: abs(k - width))
+            return self.fusion_factors[key]
+        return self.fusion_factor
 
     def save(self, path: Optional[str] = None):
         path = path or self.path
@@ -100,6 +121,9 @@ class LatencyLUT:
             out = dict(self.table)
             if self.fusion_factor != 1.0:
                 out["__fusion_factor__"] = self.fusion_factor
+            if self.fusion_factors:
+                out["__fusion_factor_by_width__"] = {
+                    repr(k): v for k, v in self.fusion_factors.items()}
             tmp = path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump(out, f, indent=0, sort_keys=True)

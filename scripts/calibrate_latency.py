@@ -62,6 +62,10 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--apply", action="store_true",
                     help="store the fitted factor into latency_lut_v5e.json")
+    ap.add_argument("--refit", action="store_true",
+                    help="refit the factors from the already-measured rows "
+                         "in evidence/latency_calib/calibration.json "
+                         "(no device needed)")
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
@@ -79,24 +83,45 @@ def main():
 
     lut = LatencyLUT(LUT_PATH, provider=TpuCostModel().provider)
     rows = {}
-    for name, plan in shipped_plans().items():
-        walk = derived_latency_ms(lut, plan, HW, calibrate=False)
-        model, variables = create_derived(plan, jax.random.PRNGKey(0),
-                                          input_hw=HW, dtype=jnp.bfloat16)
-        runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16)
-        x = jnp.zeros((1, HW[0], HW[1], 3), jnp.bfloat16)
-        ms, _, _ = chained_slope_ms(runner.logits, variables, x,
-                                    reps=args.reps)
-        rows[name] = {"walk_ms": round(walk, 4), "measured_ms": round(ms, 4),
-                      "ratio": round(ms / walk, 4)}
-        print(name, rows[name], flush=True)
+    if args.refit:
+        rows = json.load(open(os.path.join(EVID, "calibration.json")))[
+            "plans"]
+    else:
+        for name, plan in shipped_plans().items():
+            walk = derived_latency_ms(lut, plan, HW, calibrate=False)
+            model, variables = create_derived(plan, jax.random.PRNGKey(0),
+                                              input_hw=HW,
+                                              dtype=jnp.bfloat16)
+            runner = InferenceRunner(plan, variables, dtype=jnp.bfloat16)
+            x = jnp.zeros((1, HW[0], HW[1], 3), jnp.bfloat16)
+            ms, _, _ = chained_slope_ms(runner.logits, variables, x,
+                                        reps=args.reps)
+            rows[name] = {"walk_ms": round(walk, 4),
+                          "measured_ms": round(ms, 4),
+                          "ratio": round(ms / walk, 4)}
+            print(name, rows[name], flush=True)
 
-    # scalar factor minimizing the max relative error across plans:
-    # midpoint of [min, max] ratio in log space (geometric midrange)
+    # Per-WIDTH-FAMILY factor (teacher stem/head width 1.0 vs student
+    # 8/12): measured ratios split cleanly by family (~0.60 teacher vs
+    # ~0.37 student) because the fusion gain over the per-op sum tracks
+    # network width — a single scalar cannot sit within 10% of both.
+    # Within each family: geometric midrange (minimizes max rel error).
     import math
-    ratios = [r["ratio"] for r in rows.values()]
-    factor = math.exp((math.log(min(ratios)) + math.log(max(ratios))) / 2)
-    max_err = max(abs(r * 1.0 / factor - 1.0) for r in ratios)
+
+    widths = {name: plan.stem_head_width[0]
+              for name, plan in shipped_plans().items()}
+    by_width = {}
+    for name, r in rows.items():
+        by_width.setdefault(round(widths[name], 4), []).append(r["ratio"])
+    factors = {
+        w: round(math.exp((math.log(min(rs)) + math.log(max(rs))) / 2), 4)
+        for w, rs in by_width.items()}
+    max_err = max(abs(r / factors[round(widths[n], 4)] - 1.0)
+                  for n, row in rows.items() for r in [row["ratio"]])
+    # scalar default = student-family factor: the FPS-band controller
+    # (the only consumer of ABSOLUTE estimated fps) binds the student
+    student_w = round(8.0 / 12, 4)
+    factor = factors.get(student_w, list(factors.values())[0])
     out = {
         "input_hw": list(HW),
         "dtype": "bfloat16",
@@ -104,9 +129,12 @@ def main():
                          "chained_slope_ms scoreboard harness "
                          "(inner=10, m1=1, m2=10)",
         "plans": rows,
-        "fusion_factor": round(factor, 4),
+        "plan_widths": {n: round(w, 4) for n, w in widths.items()},
+        "fusion_factor": factor,
+        "fusion_factor_by_width": factors,
         "max_rel_err_pct": round(max_err * 100, 2),
-        "backend": jax.default_backend(),
+        "backend": ("tpu (rows measured on-device; factors refit "
+                    "host-side)" if args.refit else jax.default_backend()),
     }
     os.makedirs(EVID, exist_ok=True)
     with open(os.path.join(EVID, "calibration.json"), "w") as f:
@@ -116,6 +144,7 @@ def main():
 
     if args.apply:
         lut.fusion_factor = out["fusion_factor"]
+        lut.fusion_factors = {float(w): f for w, f in factors.items()}
         lut.save()
         # with the factor applied, report the TPU-derived band around the
         # shipped student operating point (reference relative semantics)

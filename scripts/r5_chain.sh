@@ -12,10 +12,15 @@ mkdir -p artifacts/r5_logs
 
 run() {  # run <name> <timeout_s> <cmd...>
     local name=$1 t=$2; shift 2
+    if [ -f "artifacts/r5_logs/$name.done" ]; then
+        echo "=== $name already done, skipping ===" | tee -a artifacts/r5_logs/chain.log
+        return 0
+    fi
     echo "=== $name ($(date +%H:%M:%S)) ===" | tee -a artifacts/r5_logs/chain.log
     timeout "$t" "$@" >> "artifacts/r5_logs/$name.log" 2>&1
     local rc=$?
     echo "=== $name exit=$rc ($(date +%H:%M:%S)) ===" | tee -a artifacts/r5_logs/chain.log
+    [ $rc -eq 0 ] && touch "artifacts/r5_logs/$name.done"
     return $rc
 }
 

@@ -39,6 +39,10 @@ def test_calibrated_walk_within_10pct_of_measured():
     assert lut.fusion_factor == pytest.approx(calib["fusion_factor"],
                                               abs=1e-4), \
         "latency_lut_v5e.json factor out of sync with calibration evidence"
+    # per-width-family factors (teacher 1.0 vs student 8/12: the fusion
+    # gain tracks network width; see calibrate_latency.py)
+    for w, f in calib.get("fusion_factor_by_width", {}).items():
+        assert lut.factor_for(float(w)) == pytest.approx(f, abs=1e-4)
     plans = _plans()
     for name, row in calib["plans"].items():
         est = derived_latency_ms(lut, plans[name], tuple(calib["input_hw"]))
@@ -57,12 +61,20 @@ def test_fusion_factor_roundtrip(tmp_path):
     lut = LatencyLUT(str(p))
     lut.table = {"ConvNorm_H8_W8_Cin3_Cout8_kernel3_stride1": 0.5}
     lut.fusion_factor = 0.7
+    lut.fusion_factors = {1.0: 0.6, 0.6667: 0.37}
     lut.save()
     back = LatencyLUT(str(p))
     assert back.fusion_factor == 0.7
-    # the reserved key is metadata, not an entry
+    # the reserved keys are metadata, not entries
     assert "__fusion_factor__" not in back.table
+    assert "__fusion_factor_by_width__" not in back.table
     assert back.get("ConvNorm_H8_W8_Cin3_Cout8_kernel3_stride1") == 0.5
+    # nearest width-family match; scalar fallback without families
+    assert back.factor_for(1.0) == 0.6
+    assert back.factor_for(8.0 / 12) == 0.37  # 0.6667 nearest
+    assert back.factor_for(0.9) == 0.6
+    back.fusion_factors = {}
+    assert back.factor_for(1.0) == 0.7
 
 
 def test_calibrate_flag_and_band_semantics(tmp_path):
@@ -78,7 +90,8 @@ def test_calibrate_flag_and_band_semantics(tmp_path):
     lut = LatencyLUT(LUT_PATH)
     raw = derived_latency_ms(lut, plan, calibrate=False)
     cal = derived_latency_ms(lut, plan)
-    assert cal == pytest.approx(raw * lut.fusion_factor, rel=1e-9)
+    assert cal == pytest.approx(raw * lut.factor_for(plan.stem_head_width[0]),
+                                rel=1e-9)
     lo, hi = tpu_fps_band(lut, plan)
     fps = 1000.0 / cal
     assert lo == pytest.approx(REF_BAND_REL[0] * fps)
